@@ -1,0 +1,676 @@
+"""ColorVideoVDP metric — TPU-native JAX implementation.
+
+Design (TPU-first, not a port):
+
+* The whole per-block computation — temporal filtering, contrast pyramid,
+  CSF, masking, spatial pooling, heatmap — is one pure function traced and
+  compiled once per (shape, fps) configuration. Calibration constants are
+  Python/numpy scalars folded into the graph at trace time.
+* All shapes are static: band count, filter length and block size are derived
+  from (H, W, ppd, fps) before jit.
+* Frame blocks stream through a device-resident sliding-window buffer; the
+  temporal-filter halo (filter_len - 1 frames) is the only carried state.
+
+Behavioural parity is keyed to the reference pipeline
+(reference: pycvvdp/cvvdp_metric.py); quirks replicated on purpose are
+annotated inline.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..display import vvdp_display_geometry, vvdp_display_photometry
+from ..ops import masking as mk
+from ..ops.csf import CastleCSF
+from ..ops.pyramid import LaplacianPyramid, LogContrastPyramid, WeberContrastPyramid
+from ..ops.temporal import get_temporal_filters
+from ..utils.config import config_files, json2dict
+from .base import register_metric, vq_exception, vq_metric
+
+
+class cvvdp(vq_metric):
+    """Full-reference perceptual image/video quality metric (JOD units)."""
+
+    def __init__(
+        self,
+        display_name="standard_4k",
+        display_photometry=None,
+        display_geometry=None,
+        config_paths=None,
+        heatmap=None,
+        quiet=False,
+        device=None,  # accepted for API compatibility; JAX picks the device
+        temp_padding="replicate",
+        use_checkpoints=False,
+        dump_channels=None,
+        gpu_mem=None,
+    ):
+        config_paths = config_paths or []
+        self.quiet = quiet
+        self.heatmap = heatmap
+        self.temp_padding = temp_padding
+        self.use_checkpoints = use_checkpoints
+        self.gpu_mem = gpu_mem
+        self.training_mode = False
+
+        assert heatmap in ["threshold", "supra-threshold", "raw", "none", None], (
+            "Unknown heatmap type"
+        )
+        self.do_heatmap = heatmap is not None and heatmap != "none"
+
+        self.set_display_model(
+            display_name,
+            display_photometry=display_photometry,
+            display_geometry=display_geometry,
+            config_paths=config_paths,
+        )
+
+        self.temp_resample = False
+        self.nominal_fps = 240
+
+        self.load_config(config_paths)
+        self.dump_channels = dump_channels
+        self._block_fns = {}
+
+    # ------------------------------------------------------------------
+    # Configuration
+
+    def train(self, do_training=True):
+        self.training_mode = do_training
+
+    def load_config(self, config_paths=None):
+        """Parse cvvdp_parameters.json into Python constants (reference:
+        cvvdp_metric.py:146-229)."""
+        config_paths = config_paths or []
+        self.parameters_file = config_files.find(
+            "cvvdp_parameters.json", config_paths
+        )
+        logging.debug(
+            f"Loading ColorVideoVDP parameters from '{self.parameters_file}'"
+        )
+        p = json2dict(self.parameters_file)
+
+        self.mask_p = float(p["mask_p"])
+        self.mask_c = float(p["mask_c"])
+        self.pu_dilate = p["pu_dilate"]
+        self.beta = float(p["beta"])
+        self.beta_t = float(p["beta_t"])
+        self.beta_tch = float(p["beta_tch"])
+        self.beta_sch = float(p["beta_sch"])
+        self.csf_sigma = float(p["csf_sigma"])
+        self.sensitivity_correction = float(p["sensitivity_correction"])
+        self.masking_model = p["masking_model"]
+        self.csf_version = p["csf"]
+        self.local_adapt = p["local_adapt"]
+        self.contrast = p["contrast"]
+        self.jod_a = float(p["jod_a"])
+        self.jod_exp = float(p["jod_exp"])
+        self.ce_g = float(p["ce_g"]) if "ce_g" in p else None
+        self.k_c = float(p["k_c"]) if "k_c" in p else None
+        self.temp_filter = p.get("temp_filter", "default")
+        if "mask_q" in p:
+            self.mask_q = np.asarray(p["mask_q"], np.float32)
+        else:
+            self.mask_q_sust = float(p["mask_q_sust"])
+            self.mask_q_trans = float(p["mask_q_trans"])
+        self.filter_len = int(p["filter_len"])
+        self.do_xchannel_masking = p["xchannel_masking"] == "on"
+        self.xcm_weights = np.asarray(p["xcm_weights"], np.float32)
+        self.image_int = float(p["image_int"])
+        if "ch_chrom_w" in p:
+            self.ch_chrom_w = float(p["ch_chrom_w"])
+            self.ch_trans_w = float(p["ch_trans_w"])
+        else:
+            self.ch_weights = np.asarray(p["ch_weights"], np.float32)
+        self.sigma_tf = np.asarray(p["sigma_tf"], np.float32)
+        self.beta_tf = np.asarray(p["beta_tf"], np.float32)
+        self.baseband_weight = np.asarray(p["baseband_weight"], np.float32)
+        self.dclamp_type = p["dclamp_type"]
+        self.d_max = float(p["d_max"]) if np.isscalar(p["d_max"]) else np.asarray(
+            p["d_max"], np.float32
+        )
+        self.version = p["version"]
+        self.do_Bloch_int = p["Bloch_int"] == "on"
+        self.bfilt_duration = p["bfilt_duration"]
+        self.omega = [0, 5]
+        self.csf = CastleCSF(csf_version=self.csf_version, config_paths=config_paths)
+        self.block_channels = (
+            np.asarray(p["block_channels"], bool) if "block_channels" in p else None
+        )
+        self.debug = False
+        self.lpyr = None
+        self._block_fns = {}
+
+    def update_from_checkpoint(self, ckpt):
+        """Load calibrated parameters from a Lightning-style torch checkpoint
+        (reference: cvvdp_metric.py:231-243)."""
+        import torch
+
+        state = torch.load(ckpt, map_location="cpu")["state_dict"]
+        prefix = "params."
+        for key, value in state.items():
+            if key.startswith(prefix):
+                v = value.detach().cpu().numpy()
+                setattr(self, key[len(prefix):], v if v.ndim else float(v))
+        self._block_fns = {}
+
+    def set_display_model(self, display_name="standard_4k", display_photometry=None,
+                          display_geometry=None, config_paths=None):
+        super().set_display_model(
+            display_name,
+            display_photometry=display_photometry,
+            display_geometry=display_geometry,
+            config_paths=config_paths,
+        )
+        self.lpyr = None
+        self._block_fns = {}
+
+    # ------------------------------------------------------------------
+    # Public API
+
+    def loss(self, test_cont, reference_cont, dim_order="BCFHW",
+             frames_per_second=0):
+        Q_jod, _ = self.predict(
+            test_cont, reference_cont, dim_order=dim_order,
+            frames_per_second=frames_per_second,
+        )
+        return 10.0 - Q_jod
+
+    def predict_video_source(self, vid_source):
+        """Score a video source; returns (Q_jod, stats)."""
+        h, w, N_frames = vid_source.get_video_size()
+        batch_sz = vid_source.get_batch_size()
+
+        if batch_sz > 1 and self.do_heatmap:
+            raise vq_exception("Heatmaps not supported when batches are used")
+
+        self._ensure_pyramids(w, h)
+
+        is_image = N_frames == 1
+        temp_ch = 1 if is_image else 2
+
+        if not is_image:
+            fps = vid_source.get_frames_per_second()
+            self.F, _ = get_temporal_filters(
+                fps, self.sigma_tf, self.beta_tf, self.temp_filter
+            )
+            self.filter_len = int(self.F[0].shape[0])
+
+        met_colorspace = "logLMS_DKLd65" if self.contrast == "log" else "DKLd65"
+
+        if self.dump_channels:
+            self.dump_channels.open(vid_source.get_frames_per_second())
+
+        if is_image:
+            block_N_frames = 1
+        else:
+            block_N_frames = self.estimate_block_N(h * w * batch_sz, N_frames)
+
+        if self.do_heatmap:
+            dmap_channels = 1 if self.heatmap == "raw" else 3
+            heatmap = np.zeros(
+                (1, dmap_channels, N_frames, h, w), dtype=np.float16
+            )
+        else:
+            heatmap = None
+
+        Q_blocks = []
+        fb = {"sw": [None, None], "ra": [[], []]}
+
+        from tqdm import tqdm
+
+        show_progress = not is_image and not self.quiet
+        for ff in tqdm(
+            range(0, N_frames, block_N_frames), disable=not show_progress
+        ):
+            cur = min(block_N_frames, N_frames - ff)
+            if is_image:
+                T = vid_source.get_test_frame(0, colorspace=met_colorspace)
+                R = vid_source.get_reference_frame(0, colorspace=met_colorspace)
+                fn = self._get_block_fn(
+                    ("image", batch_sz, T.shape[-4], h, w, self.do_heatmap)
+                )
+                Q_per_ch_block, heatmap_block, context = fn(T, R)
+            else:
+                self._advance_frame_buffers(
+                    vid_source, fb, block_N_frames, met_colorspace, ff, cur,
+                    N_frames,
+                )
+                fn = self._get_block_fn(
+                    ("video", batch_sz, block_N_frames, h, w, self.filter_len,
+                     float(vid_source.get_frames_per_second()), self.do_heatmap)
+                )
+                Q_per_ch_block, heatmap_block, context = fn(
+                    fb["sw"][0], fb["sw"][1]
+                )
+                Q_per_ch_block = Q_per_ch_block[:, :, :cur]
+                if heatmap_block is not None:
+                    heatmap_block = heatmap_block[:, :, :cur]
+                    context = context[:, :cur]
+
+            if self.dump_channels:
+                self._dump_channels_block(vid_source, fb, is_image, met_colorspace,
+                                          ff, cur)
+
+            Q_blocks.append(Q_per_ch_block)
+
+            if self.do_heatmap:
+                if self.heatmap == "raw":
+                    hm = np.asarray(heatmap_block, np.float16)
+                else:
+                    from ..viz import visualize_diff_map
+
+                    hm = np.asarray(
+                        visualize_diff_map(
+                            heatmap_block, context_image=context,
+                            colormap_type=self.heatmap,
+                        ),
+                        np.float16,
+                    )
+                heatmap[:, :, ff : ff + cur] = hm
+
+        Q_per_ch = jnp.concatenate(Q_blocks, axis=2) if len(Q_blocks) > 1 else Q_blocks[0]
+
+        fps = vid_source.get_frames_per_second()
+        if self.temp_resample:
+            from ..ops.interp import interp1dim2
+
+            t_end = N_frames / fps
+            t_org = jnp.linspace(0.0, t_end, N_frames)
+            N_res = math.ceil(t_end * self.nominal_fps)
+            t_res = jnp.linspace(0.0, N_res / self.nominal_fps, N_res)
+            Q_per_ch = interp1dim2(t_org, Q_per_ch, t_res)
+            N_frames = N_res
+            fps = self.nominal_fps
+
+        rho_band = self.lpyr.get_freqs()
+        Q_jod = self.do_pooling_and_jods(Q_per_ch)
+
+        stats = {
+            "Q_per_ch": np.asarray(Q_per_ch),
+            "rho_band": rho_band,
+            "frames_per_second": fps,
+            "width": w,
+            "height": h,
+            "N_frames": N_frames,
+        }
+        if self.dump_channels:
+            self.dump_channels.close()
+        if self.do_heatmap:
+            stats["heatmap"] = heatmap
+
+        Q_jod = jnp.squeeze(jnp.asarray(Q_jod))
+        return (Q_jod, stats)
+
+    # ------------------------------------------------------------------
+    # Static setup helpers
+
+    def _ensure_pyramids(self, width, height):
+        if self.lpyr is not None and self.lpyr.W == width and self.lpyr.H == height:
+            return
+        if self.contrast.startswith("weber"):
+            self.lpyr = WeberContrastPyramid(
+                width, height, self.pix_per_deg, contrast=self.contrast
+            )
+        elif self.contrast.startswith("log"):
+            self.lpyr = LogContrastPyramid(width, height, self.pix_per_deg)
+        else:
+            raise RuntimeError(f"Unknown contrast {self.contrast}")
+        if self.do_heatmap:
+            self.heatmap_pyr = LaplacianPyramid(width, height, self.pix_per_deg)
+        self._block_fns = {}
+
+    def estimate_block_N(self, pix_cnt, N_frames):
+        """Static HBM budget model (TPU memory is predictable — no NVML).
+        Same linear form as the reference (cvvdp_metric.py:565-594)."""
+        try:
+            stats = jax.devices()[0].memory_stats()
+            mem_avail = stats.get("bytes_limit", 16e9) - stats.get(
+                "bytes_in_use", 0
+            ) - 1e9
+        except Exception:
+            mem_avail = 12e9
+        if self.gpu_mem is not None:
+            mem_avail = min(self.gpu_mem * 1e9, mem_avail)
+        a = 0.6e9
+        b = 24  # two fp32 3-channel sliding-window buffers
+        c = 320 if not self.training_mode else 800
+        max_frames = int(
+            math.floor(
+                (mem_avail - a - pix_cnt * (self.filter_len - 1) * b)
+                / (pix_cnt * b + pix_cnt * c)
+            )
+        )
+        return max(1, min(max_frames, N_frames))
+
+    def get_ch_weights(self, no_channels):
+        if hasattr(self, "ch_chrom_w"):
+            w = np.array(
+                [1.0, self.ch_chrom_w, self.ch_chrom_w, self.ch_trans_w], np.float32
+            )
+        else:
+            w = np.asarray(self.ch_weights, np.float32)
+        return w[:no_channels]
+
+    def _masking_params(self) -> mk.MaskingParams:
+        if hasattr(self, "mask_q"):
+            mask_q = np.asarray(self.mask_q, np.float32)
+        else:
+            q_sust = float(np.clip(self.mask_q_sust, 1.0, 7.0))
+            q_trans = float(np.clip(self.mask_q_trans, 1.0, 7.0))
+            mask_q = np.array([q_sust, q_sust, q_sust, q_trans], np.float32)
+        return mk.MaskingParams(
+            masking_model=self.masking_model,
+            mask_p=self.mask_p,
+            mask_q=tuple(mask_q.tolist()),
+            mask_c=self.mask_c,
+            pu_dilate=self.pu_dilate,
+            xcm_weights=tuple(np.asarray(self.xcm_weights, np.float32).tolist()),
+            do_xchannel_masking=self.do_xchannel_masking,
+            dclamp_type=self.dclamp_type,
+            d_max=self.d_max,
+            ce_g=self.ce_g,
+            k_c=self.k_c,
+        )
+
+    # ------------------------------------------------------------------
+    # Functional core
+
+    def _get_block_fn(self, key):
+        if key in self._block_fns:
+            return self._block_fns[key]
+
+        if key[0] == "image":
+
+            def image_fn(T, R):
+                # Interleave test/reference: single-channel (luminance-only)
+                # input broadcasts into all three DKL slots (reference:
+                # cvvdp_metric.py:462-465).
+                _, C, _, h, w = T.shape
+                B = max(T.shape[0], R.shape[0])
+                T3 = jnp.broadcast_to(T, (B, 3, 1, h, w))
+                R3 = jnp.broadcast_to(R, (B, 3, 1, h, w))
+                Rfull = jnp.stack([T3, R3], axis=2).reshape(B, 6, 1, h, w)
+                Q, hm = self._process_block(Rfull, temp_ch=1, is_image=True)
+                # Context for heatmap colour-mapping: channel 0 of the block
+                # (test sustained Y, reference: cvvdp_metric.py:400).
+                return Q, hm, Rfull[:, 0]
+
+            fn = jax.jit(image_fn)
+        else:
+
+            def video_fn(sw_test, sw_ref):
+                from ..ops.temporal import apply_temporal_filters
+
+                filt = np.stack([f[::-1] for f in self.F])
+                T4 = apply_temporal_filters(sw_test, filt)
+                R4 = apply_temporal_filters(sw_ref, filt)
+                B, _, nf, h, w = T4.shape
+                Rfull = jnp.stack([T4, R4], axis=2).reshape(B, 8, nf, h, w)
+                Q, hm = self._process_block(Rfull, temp_ch=2, is_image=False)
+                return Q, hm, Rfull[:, 0]
+
+            fn = jax.jit(video_fn)
+
+        self._block_fns[key] = fn
+        return fn
+
+    def _process_block(self, R, temp_ch, is_image):
+        """Pyramid -> CSF -> masking -> spatial pooling for one frame block
+        (reference: cvvdp_metric.py:660-751). Pure traced function."""
+        all_ch = 2 + temp_ch
+        lpyr = self.lpyr
+        n_bands = lpyr.get_band_count()
+        params = self._masking_params()
+
+        B_bands, L_bkg_pyr = lpyr.decompose(R)
+
+        rho_band = lpyr.get_freqs()
+        rho_band[n_bands - 1] = 0.1  # baseband CSF frequency
+
+        sens_corr = 10.0 ** (self.sensitivity_correction / 20.0)
+        per_ch_w = self.get_ch_weights(all_ch)
+        t_int = self.image_int if is_image else 1.0
+
+        Q_cols = []
+        hm_bands = [None] * n_bands
+        for bb in range(n_bands):
+            is_baseband = bb == n_bands - 1
+            B_bb = lpyr.get_band(B_bands, bb)
+            T_f = B_bb[:, 0::2]
+            R_f = B_bb[:, 1::2]
+
+            # Sensitivity is extracted for the reference image's adaptation
+            # field (channel index 1 of the (test, ref) pair).
+            logL = L_bkg_pyr[bb][..., 1:2, :, :, :]
+            rho = float(rho_band[bb])
+            luts = [
+                (rho, self.omega[0 if cc < 3 else 1], cc if cc < 3 else 0)
+                for cc in range(all_ch)
+            ]
+            S = self.csf.sensitivity_multi_channel(
+                [l[0] for l in luts], [l[1] for l in luts], logL,
+                [l[2] for l in luts],
+            )
+            # (all_ch, B, 1, F, h, w) -> (B, all_ch, F, h, w)
+            S = jnp.moveaxis(S, 0, 1)[:, :, 0] * sens_corr
+
+            if is_baseband:
+                D = jnp.abs(T_f - R_f) * S
+            else:
+                D = mk.apply_masking_model(T_f, R_f, S, params)
+
+            Q_cols.append(
+                mk.lp_norm(D, self.beta, dim=(-2, -1), normalize=True,
+                           keepdim=False)
+            )
+
+            if self.do_heatmap:
+                w_ch = jnp.asarray(per_ch_w).reshape(-1, 1, 1, 1) * t_int
+                if is_baseband:
+                    w_ch = w_ch * jnp.asarray(
+                        self.baseband_weight[:all_ch]
+                    ).reshape(-1, 1, 1, 1)
+                D_chr = mk.lp_norm(D * w_ch, self.beta_tch, dim=-4,
+                                   normalize=False)
+                # Interior bands are stored at half gain (lpyr_dec.py:308-314).
+                mul = 1.0 if (bb == 0 or is_baseband) else 2.0
+                hm_bands[bb] = D_chr / mul
+
+        Q_per_ch_block = jnp.stack(Q_cols, axis=-1)  # (B, C, F, bands)
+
+        if self.do_heatmap:
+            recon = self.heatmap_pyr.reconstruct(hm_bands)
+            heatmap_block = 1.0 - mk.met2jod(recon, self.jod_a, self.jod_exp) / 10.0
+        else:
+            heatmap_block = None
+
+        return Q_per_ch_block, heatmap_block
+
+    def do_pooling_and_jods(self, Q_per_ch):
+        """Band/channel/frame pooling and JOD mapping (reference:
+        cvvdp_metric.py:610-643). Q_per_ch is (B, C, F, bands)."""
+        Q_per_ch = jnp.asarray(Q_per_ch)
+        no_channels = Q_per_ch.shape[1]
+        no_frames = Q_per_ch.shape[2]
+        no_bands = Q_per_ch.shape[3]
+
+        per_ch_w = jnp.asarray(self.get_ch_weights(no_channels)).reshape(1, -1, 1, 1)
+        per_sband_w = np.ones((1, no_channels, 1, no_bands), np.float32)
+        per_sband_w[:, :, 0, -1] = self.baseband_weight[:no_channels]
+        per_sband_w = jnp.asarray(per_sband_w)
+
+        Q_sc = mk.lp_norm(
+            Q_per_ch * per_ch_w * per_sband_w, self.beta_sch, dim=3,
+            normalize=False,
+        )
+
+        is_image = no_frames == 1
+        t_int = self.image_int if is_image else 1.0
+
+        if self.block_channels is not None:
+            # Channel-ablation mask. NOTE: the reference indexes the *batch*
+            # axis here (cvvdp_metric.py:631) — an upstream bug; we mask the
+            # channel axis, which is the documented intent.
+            keep = np.nonzero(self.block_channels[:no_channels])[0]
+            Q_sc = Q_sc[:, keep]
+        Q_tc = mk.lp_norm(Q_sc, self.beta_tch, dim=1, normalize=False)
+
+        if is_image:
+            Q = Q_tc * t_int
+        else:
+            Q = mk.lp_norm(Q_tc, self.beta_t, dim=2, normalize=True)
+
+        Q = jnp.squeeze(Q)
+        return self.met2jod(Q)
+
+    def met2jod(self, Q):
+        return mk.met2jod(Q, self.jod_a, self.jod_exp)
+
+    # ------------------------------------------------------------------
+    # Frame-buffer management (video streaming)
+
+    @staticmethod
+    def _get_symmetric_frame_index(frame_ind, frame_count):
+        """Ping-pong mirror index for symmetric temporal padding (reference:
+        cvvdp_metric.py:445-450)."""
+        is_even = (math.floor((abs(frame_ind) - 1) / (frame_count - 1)) % 2) == 0
+        if is_even:
+            return ((abs(frame_ind) - 1) % (frame_count - 1)) + 1
+        return frame_ind % (frame_count - 1)
+
+    def _advance_frame_buffers(
+        self, vid_source, fb, block_N_frames, met_colorspace, ff, cur, N_frames
+    ):
+        """Maintain the device-resident sliding-window buffers (reference:
+        cvvdp_metric.py:490-548)."""
+        fl = self.filter_len
+        buf_len = fl + block_N_frames - 1
+
+        def fetch(which, idx):
+            if which == 0:
+                return vid_source.get_test_frame(idx, colorspace=met_colorspace)
+            return vid_source.get_reference_frame(idx, colorspace=met_colorspace)
+
+        if ff == 0:
+            new_frames = [[fetch(s, ff + fi) for fi in range(cur)] for s in (0, 1)]
+            for s in (0, 1):
+                frames = new_frames[s]
+                if self.temp_padding == "replicate":
+                    head = [frames[0]] * (fl - 1)
+                elif self.temp_padding == "symmetric":
+                    # Read ahead if the first block is shorter than the filter.
+                    for fi in range(max(fl - cur, 0)):
+                        fb["ra"][s].append(fetch(s, ff + cur + fi))
+                    head = []
+                    for fi in range(-fl + 1, 0):
+                        pos = self._get_symmetric_frame_index(fi, N_frames)
+                        if pos < cur:
+                            head.append(frames[pos])
+                        else:
+                            head.append(fb["ra"][s][pos - cur])
+                else:
+                    raise RuntimeError(
+                        f'Unknown padding method "{self.temp_padding}"'
+                    )
+                parts = head + frames
+                if cur < block_N_frames:
+                    pad = jnp.zeros_like(frames[0])
+                    parts = parts + [pad] * (block_N_frames - cur)
+                fb["sw"][s] = jnp.concatenate(parts, axis=2)
+        else:
+            for s in (0, 1):
+                frames = []
+                for fi in range(cur):
+                    if fb["ra"][s]:
+                        frames.append(fb["ra"][s].pop(0))
+                    else:
+                        frames.append(fetch(s, ff + fi))
+                tail = fb["sw"][s][:, :, block_N_frames:]
+                parts = [tail] + frames
+                if cur < block_N_frames:
+                    pad = jnp.zeros_like(frames[0])
+                    parts = parts + [pad] * (block_N_frames - cur)
+                fb["sw"][s] = jnp.concatenate(parts, axis=2)
+
+    # ------------------------------------------------------------------
+    # Reporting
+
+    def full_name(self):
+        return "ColorVideoVDP"
+
+    def short_name(self):
+        return "cvvdp"
+
+    def quality_unit(self):
+        return "JOD"
+
+    def get_info_string(self):
+        if self.display_name.startswith("standard_"):
+            standard_str = self.display_name
+        else:
+            standard_str = f"custom-display: {self.display_name}"
+        L_black, L_refl = self.display_photometry.get_black_level()
+        return (
+            f'"{self.full_name()} v{self.version}, '
+            f"{self.pix_per_deg:.4g} [pix/deg], "
+            f"Lpeak={self.display_photometry.get_peak_luminance():.5g}, "
+            f"Lblack={L_black:.4g}, Lrefl={L_refl:.4g} [cd/m^2], "
+            f'({standard_str})"'
+        )
+
+    def write_features_to_json(self, stats, dest_fname):
+        """Per-band feature export for calibration (reference:
+        cvvdp_metric.py:1112-1127)."""
+        Q_per_ch = stats["Q_per_ch"]
+        fmap = {}
+        for key, value in stats.items():
+            if key not in ("Q_per_ch", "heatmap"):
+                fmap[key] = value.tolist() if isinstance(value, np.ndarray) else value
+        for cc in range(Q_per_ch.shape[1]):
+            for bb in range(Q_per_ch.shape[3]):
+                fmap[f"t{cc}_b{bb}"] = Q_per_ch[:, cc, :, bb].tolist()
+        with open(dest_fname, "w", encoding="utf-8") as f:
+            json.dump(fmap, f, ensure_ascii=False, indent=4)
+
+    def save_to_config(self, fname, comment):
+        """Write current (possibly re-calibrated) parameters back to JSON
+        (reference: cvvdp_metric.py:1129-1154)."""
+        from datetime import date
+
+        assert fname.endswith(".json"), "Please provide a .json file"
+        parameters = json2dict(self.parameters_file)
+        remap = {"csf": "csf_version"}
+        for key in parameters:
+            attr = remap.get(key, key)
+            if isinstance(parameters[key], str) or isinstance(parameters[key], int):
+                continue
+            if not hasattr(self, attr):
+                continue
+            val = getattr(self, attr)
+            if isinstance(parameters[key], float):
+                parameters[key] = float(np.asarray(val))
+            elif isinstance(parameters[key], list):
+                parameters[key] = [float(x) for x in np.asarray(val).flatten()]
+        parameters["__comment"] = comment
+        parameters["calibration_date"] = date.today().strftime("%d/%m/%Y")
+        with open(fname, "w") as f:
+            json.dump(parameters, f, indent=4)
+
+    def export_distogram(self, stats, fname, jod_max=None, base_size=6):
+        from ..viz import export_distogram
+
+        export_distogram(self, stats, fname, jod_max=jod_max, base_size=base_size)
+
+    def _dump_channels_block(self, vid_source, fb, is_image, met_colorspace, ff, cur):
+        pass  # channel dumps wired in via dump_channels object (viz pass)
+
+
+register_metric(cvvdp)

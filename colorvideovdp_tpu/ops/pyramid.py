@@ -1,0 +1,283 @@
+"""Decimated Laplacian / Weber-contrast pyramids for TPU.
+
+Reimplements the reference pyramid (reference: pycvvdp/lpyr_dec.py) as pure
+jnp functions with static shapes. The 5-tap separable convolutions are
+expressed as strided slices + weighted sums, which XLA fuses into single
+VPU passes (no im2col, no MXU needed for a 5-tap kernel).
+
+Parity notes (all verified against the reference):
+
+* ``reduce`` uses symmetric (edge-inclusive) boundary handling implemented in
+  the reference as zero-padded conv + explicit first/last row/col corrections
+  (lpyr_dec.py:186-211). Crucially, the *horizontal* pass selects its
+  last-column correction based on the ROW parity (``x.shape[-2] % 2``,
+  lpyr_dec.py:206) — a reference quirk we replicate exactly.
+* ``expand`` zero-interleaves with a custom 2-sample border pad
+  (lpyr_dec.py:129-145) before a valid conv with the doubled kernel.
+* Interior Laplacian bands are stored at half gain and doubled on read
+  (``get_band``/``set_band``, lpyr_dec.py:60-74).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax.numpy as jnp
+import numpy as np
+
+KERNEL_A = 0.4
+# [0.25 - a/2, 0.25, a, 0.25, 0.25 - a/2]
+K5 = np.array([0.25 - KERNEL_A / 2, 0.25, KERNEL_A, 0.25, 0.25 - KERNEL_A / 2],
+              dtype=np.float32)
+
+
+def ceildiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def pyramid_band_freqs(W: int, H: int, ppd: float, min_freq: float = 0.2):
+    """Per-band peak spatial frequencies (cpd) and level count (reference:
+    lpyr_dec.py:25-42). Returns (band_freqs, height) where the pyramid has
+    ``height`` Laplacian levels plus one baseband => height+1 bands."""
+    max_levels = int(np.floor(np.log2(min(H, W)))) - 1
+    bands = (
+        np.concatenate([[1.0], np.power(2.0, -np.arange(0.0, 14.0)) * 0.3228], 0)
+        * ppd
+        / 2.0
+    )
+    invalid = np.nonzero(bands <= min_freq)[0]
+    max_band = max_levels if invalid.size == 0 else invalid[0]
+    height = int(np.clip(max_band + 1, 0, max_levels))
+    band_freqs = (
+        np.array([1.0] + [0.3228 * 2.0 ** (-f) for f in range(height)]) * ppd / 2.0
+    )
+    return band_freqs, height
+
+
+def _reduce_1d(x, axis: int, odd_correction: bool):
+    """One separable reduce pass along ``axis`` (-1 or -2): stride-2 5-tap conv
+    with symmetric boundary corrections.
+
+    ``odd_correction`` selects which last-sample correction branch is applied —
+    the caller passes row-parity for BOTH passes to replicate the reference.
+    """
+    x = jnp.moveaxis(x, axis, -1)
+    n = x.shape[-1]
+    n_out = (n - 1) // 2 + 1
+    pad = [(0, 0)] * (x.ndim - 1) + [(2, 2)]
+    xp = jnp.pad(x, pad)
+    y = None
+    for i in range(5):
+        sl = xp[..., i : i + 2 * (n_out - 1) + 1 : 2]
+        y = K5[i] * sl if y is None else y + K5[i] * sl
+    # First-sample symmetric correction (reference: lpyr_dec.py:195,205).
+    first = y[..., 0] + x[..., 0] * K5[1] + x[..., 1] * K5[0]
+    y = y.at[..., 0].set(first)
+    # Last-sample correction, branch chosen by the caller's parity flag
+    # (reference: lpyr_dec.py:196-199,206-209).
+    if odd_correction:
+        last = y[..., -1] + x[..., -1] * K5[3] + x[..., -2] * K5[4]
+    else:
+        last = y[..., -1] + x[..., -1] * K5[4]
+    y = y.at[..., -1].set(last)
+    return jnp.moveaxis(y, -1, axis)
+
+
+def gausspyr_reduce(x):
+    """Gaussian pyramid reduce: stride-2 separable 5-tap filter (reference:
+    lpyr_dec.py:186-211)."""
+    H = x.shape[-2]
+    rows_odd = (H % 2) == 1
+    y = _reduce_1d(x, -2, odd_correction=rows_odd)
+    # NOTE: the horizontal pass keys its correction on the ROW count parity —
+    # reference quirk (lpyr_dec.py:206 tests shape[-2]).
+    return _reduce_1d(y, -1, odd_correction=rows_odd)
+
+
+def _interleave_zeros_and_pad(x, exp_size: int):
+    """Zero-interleave along the last axis to ``exp_size`` + 4 border samples
+    (reference: lpyr_dec.py:129-145)."""
+    shape = list(x.shape)
+    n = shape[-1]
+    shape[-1] = exp_size + 4
+    z = jnp.zeros(shape, x.dtype)
+    odd = exp_size % 2
+    z = z.at[..., 2 : 2 + 2 * (n - 1) + 1 : 2].set(x)
+    z = z.at[..., 0].set(x[..., 0])
+    z = z.at[..., exp_size + 2 + odd].set(x[..., -1])
+    return z
+
+
+def _expand_1d(x, axis: int, exp_size: int):
+    x = jnp.moveaxis(x, axis, -1)
+    z = _interleave_zeros_and_pad(x, exp_size)
+    y = None
+    for i in range(5):
+        sl = z[..., i : i + exp_size]
+        y = (2.0 * K5[i]) * sl if y is None else y + (2.0 * K5[i]) * sl
+    return jnp.moveaxis(y, -1, axis)
+
+
+def gausspyr_expand(x, sz=None):
+    """Gaussian pyramid expand to size ``sz`` = (H, W) (reference:
+    lpyr_dec.py:223-239)."""
+    if sz is None:
+        sz = (x.shape[-2] * 2, x.shape[-1] * 2)
+    y = _expand_1d(x, -2, sz[0])
+    return _expand_1d(y, -1, sz[1])
+
+
+class LaplacianPyramid:
+    """Static-shape decimated Laplacian pyramid.
+
+    Bands are a Python list of arrays (JAX has no ragged tensors); all level
+    shapes are compile-time constants, so the whole decomposition traces into
+    one XLA computation.
+    """
+
+    def __init__(self, W: int, H: int, ppd: float):
+        self.W = W
+        self.H = H
+        self.ppd = ppd
+        self.min_freq = 0.2
+        self.band_freqs, self.height = pyramid_band_freqs(W, H, ppd, self.min_freq)
+        # Correct per-level shapes (the reference's pyr_shape loop has a
+        # latent bug and is unused; we store the real shapes).
+        self.pyr_shape = []
+        cH, cW = H, W
+        for _ in range(self.height + 1):
+            self.pyr_shape.append((cH, cW))
+            cH, cW = ceildiv(cH, 2), ceildiv(cW, 2)
+
+    def get_freqs(self):
+        return self.band_freqs.copy()
+
+    def get_band_count(self) -> int:
+        return self.height + 1
+
+    @staticmethod
+    def get_band(bands, band):
+        mul = 1.0 if band == 0 or band == len(bands) - 1 else 2.0
+        return bands[band] * mul
+
+    @staticmethod
+    def set_band(bands, band, data):
+        mul = 1.0 if band == 0 or band == len(bands) - 1 else 2.0
+        bands[band] = data / mul
+
+    def gaussian_pyramid(self, image, levels: int):
+        res = [image]
+        for _ in range(1, levels):
+            res.append(gausspyr_reduce(res[-1]))
+        return res
+
+    def decompose(self, image):
+        """Laplacian decomposition: G_i - expand(G_{i+1}), plus baseband."""
+        gpyr = self.gaussian_pyramid(image, self.height + 1)
+        lpyr = []
+        for i in range(len(gpyr) - 1):
+            ex = gausspyr_expand(gpyr[i + 1], gpyr[i].shape[-2:])
+            lpyr.append(gpyr[i] - ex)
+        lpyr.append(gpyr[-1])
+        return lpyr, gpyr
+
+    def reconstruct(self, bands):
+        img = bands[-1]
+        for i in reversed(range(len(bands) - 1)):
+            img = gausspyr_expand(img, bands[i].shape[-2:]) + bands[i]
+        return img
+
+
+class WeberContrastPyramid(LaplacianPyramid):
+    """Fused pyramid + Weber contrast (reference: lpyr_dec.py:358-414).
+
+    ``decompose`` expects frames with interleaved test/reference channels at
+    axis -4 (test even, reference odd) and returns
+    ``(contrast_bands, log10_L_bkg_bands)``.
+    """
+
+    def __init__(self, W, H, ppd, contrast: str = "weber_g1"):
+        super().__init__(W, H, ppd)
+        self.contrast = contrast
+
+    def decompose(self, image):
+        gpyr = self.gaussian_pyramid(image, self.height + 1)
+        height = len(gpyr)
+        lpyr = []
+        L_bkg_pyr = []
+        for i in range(height):
+            is_baseband = i == height - 1
+            if is_baseband:
+                layer = gpyr[i]
+                if self.contrast.endswith("ref"):
+                    L_bkg = jnp.clip(gpyr[i][..., 1:2, :, :, :], 0.01, None)
+                else:
+                    # Sustained channels adapt to the image mean — otherwise
+                    # the baseband would divide by itself.
+                    L_bkg = jnp.mean(
+                        jnp.clip(gpyr[i][..., 0:2, :, :, :], 0.01, None),
+                        axis=(-1, -2),
+                        keepdims=True,
+                    )
+            else:
+                glayer_ex = gausspyr_expand(gpyr[i + 1], gpyr[i].shape[-2:])
+                layer = gpyr[i] - glayer_ex
+                # Channel order: T-sust-Y, R-sust-Y, T-rg, R-rg, T-yv, R-yv,
+                # T-trans-Y, R-trans-Y.
+                if self.contrast == "weber_g1_ref":
+                    L_bkg = jnp.clip(glayer_ex[..., 1:2, :, :, :], 0.01, None)
+                elif self.contrast == "weber_g1":
+                    L_bkg = jnp.clip(glayer_ex[..., 0:2, :, :, :], 0.01, None)
+                elif self.contrast == "weber_g0_ref":
+                    L_bkg = jnp.clip(gpyr[i][..., 1:2, :, :, :], 0.01, None)
+                else:
+                    raise RuntimeError(f"Contrast {self.contrast} not supported")
+
+            if L_bkg.shape[-4] == 2:
+                # Separate adaptation for test (even) and reference (odd)
+                # channels.
+                n_ch = layer.shape[-4]
+                t = jnp.clip(layer[..., 0::2, :, :, :] / L_bkg[..., 0:1, :, :, :],
+                             None, 1000.0)
+                r = jnp.clip(layer[..., 1::2, :, :, :] / L_bkg[..., 1:2, :, :, :],
+                             None, 1000.0)
+                contrast = jnp.stack([t, r], axis=-4).reshape(layer.shape)
+            else:
+                contrast = jnp.clip(layer / L_bkg, None, 1000.0)
+
+            lpyr.append(contrast)
+            L_bkg_pyr.append(jnp.log10(L_bkg))
+        return lpyr, L_bkg_pyr
+
+
+class LogContrastPyramid(LaplacianPyramid):
+    """Log-luminance contrast variant (reference: lpyr_dec.py:418-458)."""
+
+    def __init__(self, W, H, ppd, contrast: str = "log"):
+        super().__init__(W, H, ppd)
+        self.contrast = contrast
+        lms_d65 = [0.7347, 0.3163, 0.0208]
+        self.a = 0.5
+        self.b = (
+            math.log10(lms_d65[0])
+            - math.log10(lms_d65[1])
+            + math.log10(lms_d65[0] + lms_d65[1])
+        )
+
+    def decompose(self, image):
+        gpyr = self.gaussian_pyramid(image, self.height + 1)
+        height = len(gpyr)
+        lpyr = []
+        L_bkg_pyr = []
+        for i in range(height):
+            if i == height - 1:
+                contrast = gpyr[i]
+                L_bkg = self.a * (gpyr[i][..., 0:2, :, :, :] - self.b)
+            else:
+                glayer_ex = gausspyr_expand(gpyr[i + 1], gpyr[i].shape[-2:])
+                contrast = gpyr[i] - glayer_ex
+                L_bkg = self.a * (glayer_ex[..., 0:2, :, :, :] - self.b)
+            lpyr.append(contrast)
+            L_bkg_pyr.append(L_bkg)
+        return lpyr, L_bkg_pyr
