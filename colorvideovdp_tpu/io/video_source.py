@@ -228,3 +228,37 @@ class video_source_array(video_source_dm):
     def _get_frame(self, from_array, frame, colorspace):
         raw = frame_to_float32(from_array[:, :, frame : frame + 1])
         return self.apply_dm_and_color_transform(jnp.asarray(raw), colorspace)
+
+    # -- fast path: raw frame blocks, converted on device inside one jit ----
+    #
+    # Frames are kept frame-major (B, F, C, H, W) so a block of consecutive
+    # frames is one contiguous memory chunk: the host-side cost of feeding the
+    # device is a zero-copy slice + flat DMA. Dtype conversion, display model
+    # and the (B, C, F, H, W) transpose all happen in-graph.
+
+    def _bfchw(self, which: str) -> np.ndarray:
+        if not hasattr(self, "_raw_fmajor"):
+            self._raw_fmajor = {}
+        if which not in self._raw_fmajor:
+            src = self.test_video if which == "test" else self.reference_video
+            self._raw_fmajor[which] = np.ascontiguousarray(
+                np.transpose(src, (0, 2, 1, 3, 4))
+            )
+        return self._raw_fmajor[which]
+
+    def get_raw_block(self, which: str, start: int, count: int) -> np.ndarray:
+        """Raw source-dtype frames (B, count, C, H, W); short tails are padded
+        by repeating the last frame (the metric slices padded outputs off)."""
+        src = self._bfchw(which)
+        end = min(start + count, src.shape[1])
+        block = src[:, start:end]
+        if end - start < count:
+            pad = np.repeat(block[:, -1:], count - (end - start), axis=1)
+            block = np.concatenate([block, pad], axis=1)
+        return block
+
+    def get_raw_frame_list(self, which: str, indices) -> np.ndarray:
+        """Arbitrary raw frames (B, len(indices), C, H, W) — used for the
+        symmetric-padding head."""
+        src = self._bfchw(which)
+        return np.ascontiguousarray(src[:, list(indices)])

@@ -221,8 +221,26 @@ class cvvdp(vq_metric):
         else:
             heatmap = None
 
+        use_fast = hasattr(vid_source, "get_raw_block")
         Q_blocks = []
         fb = {"sw": [None, None], "ra": [[], []]}
+        tails = [None, None]
+
+        # Symmetric-padding head indices are static (reference:
+        # cvvdp_metric.py:445-450,506-532).
+        if not is_image:
+            fl = self.filter_len
+            if self.temp_padding == "replicate":
+                head_idx = [0] * (fl - 1)
+            elif self.temp_padding == "symmetric":
+                head_idx = [
+                    self._get_symmetric_frame_index(fi, N_frames)
+                    for fi in range(-fl + 1, 0)
+                ]
+            else:
+                raise RuntimeError(
+                    f'Unknown padding method "{self.temp_padding}"'
+                )
 
         from tqdm import tqdm
 
@@ -232,12 +250,57 @@ class cvvdp(vq_metric):
         ):
             cur = min(block_N_frames, N_frames - ff)
             if is_image:
-                T = vid_source.get_test_frame(0, colorspace=met_colorspace)
-                R = vid_source.get_reference_frame(0, colorspace=met_colorspace)
-                fn = self._get_block_fn(
-                    ("image", batch_sz, T.shape[-4], h, w, self.do_heatmap)
+                if use_fast:
+                    raw_t = vid_source.get_raw_block("test", 0, 1)
+                    raw_r = vid_source.get_raw_block("reference", 0, 1)
+                    fn = self._get_image_step(vid_source, met_colorspace,
+                                              raw_t.shape, raw_t.dtype)
+                    # Flat upload: multi-dim H2D pays a host-side relayout.
+                    Q_per_ch_block, heatmap_block, context, dump = fn(
+                        self._put_flat(raw_t), self._put_flat(raw_r)
+                    )
+                else:
+                    T = vid_source.get_test_frame(0, colorspace=met_colorspace)
+                    R = vid_source.get_reference_frame(
+                        0, colorspace=met_colorspace
+                    )
+                    fn = self._get_block_fn(
+                        ("image", batch_sz, T.shape[-4], h, w, self.do_heatmap)
+                    )
+                    Q_per_ch_block, heatmap_block, context, dump = fn(T, R)
+            elif use_fast:
+                # Fast path: contiguous zero-copy block slice on the host, one
+                # flat DMA per source, one fused jit call per block; the
+                # temporal halo (fl-1 DKL frames) is donated device state.
+                raw_t_np = vid_source.get_raw_block("test", ff, block_N_frames)
+                raw_r_np = vid_source.get_raw_block(
+                    "reference", ff, block_N_frames
                 )
-                Q_per_ch_block, heatmap_block, context = fn(T, R)
+                fn = self._get_video_step(
+                    vid_source, met_colorspace, raw_t_np.shape, raw_t_np.dtype,
+                    first=(ff == 0),
+                )
+                raw_t = self._put_flat(raw_t_np)
+                raw_r = self._put_flat(raw_r_np)
+                if ff == 0:
+                    if self.temp_padding == "replicate":
+                        out = fn(raw_t, raw_r)
+                    else:
+                        head_t = self._put_flat(
+                            vid_source.get_raw_frame_list("test", head_idx)
+                        )
+                        head_r = self._put_flat(
+                            vid_source.get_raw_frame_list("reference", head_idx)
+                        )
+                        out = fn(head_t, head_r, raw_t, raw_r)
+                else:
+                    out = fn(tails[0], tails[1], raw_t, raw_r)
+                (Q_per_ch_block, heatmap_block, context, tails[0], tails[1],
+                 dump) = out
+                Q_per_ch_block = Q_per_ch_block[:, :, :cur]
+                if heatmap_block is not None:
+                    heatmap_block = heatmap_block[:, :, :cur]
+                    context = context[:, :cur]
             else:
                 self._advance_frame_buffers(
                     vid_source, fb, block_N_frames, met_colorspace, ff, cur,
@@ -247,7 +310,7 @@ class cvvdp(vq_metric):
                     ("video", batch_sz, block_N_frames, h, w, self.filter_len,
                      float(vid_source.get_frames_per_second()), self.do_heatmap)
                 )
-                Q_per_ch_block, heatmap_block, context = fn(
+                Q_per_ch_block, heatmap_block, context, dump = fn(
                     fb["sw"][0], fb["sw"][1]
                 )
                 Q_per_ch_block = Q_per_ch_block[:, :, :cur]
@@ -255,9 +318,15 @@ class cvvdp(vq_metric):
                     heatmap_block = heatmap_block[:, :, :cur]
                     context = context[:, :cur]
 
-            if self.dump_channels:
-                self._dump_channels_block(vid_source, fb, is_image, met_colorspace,
-                                          ff, cur)
+            if self.dump_channels and dump is not None:
+                self.dump_channels.dump_temp_ch(np.asarray(dump["R"])[:, :, :cur])
+                self.dump_channels.dump_lpyr(
+                    self.lpyr, [np.asarray(b)[:, :, :cur] for b in dump["bands"]]
+                )
+                self.dump_channels.set_diff_bands(
+                    [np.asarray(b)[:, :, :cur] for b in dump["D_bands"]]
+                )
+                self.dump_channels.dump_diff()
 
             Q_blocks.append(Q_per_ch_block)
 
@@ -398,10 +467,11 @@ class cvvdp(vq_metric):
                 T3 = jnp.broadcast_to(T, (B, 3, 1, h, w))
                 R3 = jnp.broadcast_to(R, (B, 3, 1, h, w))
                 Rfull = jnp.stack([T3, R3], axis=2).reshape(B, 6, 1, h, w)
-                Q, hm = self._process_block(Rfull, temp_ch=1, is_image=True)
+                Q, hm, dump = self._process_block(Rfull, temp_ch=1,
+                                                  is_image=True)
                 # Context for heatmap colour-mapping: channel 0 of the block
                 # (test sustained Y, reference: cvvdp_metric.py:400).
-                return Q, hm, Rfull[:, 0]
+                return Q, hm, Rfull[:, 0], dump
 
             fn = jax.jit(image_fn)
         else:
@@ -414,13 +484,173 @@ class cvvdp(vq_metric):
                 R4 = apply_temporal_filters(sw_ref, filt)
                 B, _, nf, h, w = T4.shape
                 Rfull = jnp.stack([T4, R4], axis=2).reshape(B, 8, nf, h, w)
-                Q, hm = self._process_block(Rfull, temp_ch=2, is_image=False)
-                return Q, hm, Rfull[:, 0]
+                Q, hm, dump = self._process_block(Rfull, temp_ch=2,
+                                                  is_image=False)
+                return Q, hm, Rfull[:, 0], dump
 
             fn = jax.jit(video_fn)
 
         self._block_fns[key] = fn
         return fn
+
+    @staticmethod
+    def _put_flat(a: np.ndarray):
+        """Upload as a flat contiguous buffer (fast path through the host
+        transfer layer); the consuming jit reshapes on device for free."""
+        return jax.device_put(np.ascontiguousarray(a).reshape(-1))
+
+    @staticmethod
+    def _dm_key(dm):
+        """Hashable identity of a photometric model for the jit cache."""
+        return (
+            type(dm).__name__,
+            getattr(dm, "Y_peak", None),
+            getattr(dm, "contrast", None),
+            getattr(dm, "EOTF", None),
+            getattr(dm, "E_ambient", None),
+            getattr(dm, "k_refl", None),
+            getattr(dm, "exposure", None),
+            getattr(dm, "rgb2xyz", np.zeros(1)).tobytes(),
+        )
+
+    @staticmethod
+    def _raw_to_float(x):
+        """Source dtype ladder -> fp32, in-graph (mirrors
+        video_source.frame_to_float32)."""
+        if x.dtype == jnp.uint8:
+            return x.astype(jnp.float32) / 255.0
+        if x.dtype == jnp.uint16:
+            return x.astype(jnp.float32) / 65535.0
+        if x.dtype == jnp.int16:
+            # uint16 content packed into int16 (reference trick for torch);
+            # bitcast back losslessly.
+            u = jax.lax.bitcast_convert_type(x, jnp.uint16)
+            return u.astype(jnp.float32) / 65535.0
+        return x.astype(jnp.float32)
+
+    def _dm_to_met(self, dm, raw, met_colorspace):
+        """Raw frames -> metric colour space, broadcast to 3 channels for
+        luminance-only content (reference: cvvdp_metric.py:464-465 broadcast)."""
+        I = dm.source_2_target_colorspace(self._raw_to_float(raw), met_colorspace)
+        if I.shape[-4] == 1:
+            sh = list(I.shape)
+            sh[-4] = 3
+            I = jnp.broadcast_to(I, sh)
+        return I
+
+    def _flat_to_met(self, dm, raw_flat, shape, met_colorspace, source=None):
+        """Flat frame-major upload -> (B, 3, F, H, W) in the metric colour
+        space. Sources with a packed representation (e.g. planar YUV) supply
+        an ``unpack_raw_block`` hook traced into the same graph."""
+        x = raw_flat.reshape(shape)
+        if source is not None and hasattr(source, "unpack_raw_block"):
+            rgb = source.unpack_raw_block(x)  # float32 (B, C, F, H, W)
+            if rgb.shape[-4] == 1:
+                sh = list(rgb.shape)
+                sh[-4] = 3
+                rgb = jnp.broadcast_to(rgb, sh)
+            return dm.source_2_target_colorspace(rgb, met_colorspace)
+        x = jnp.transpose(x, (0, 2, 1, 3, 4))  # (B,F,C,H,W) -> (B,C,F,H,W)
+        return self._dm_to_met(dm, x, met_colorspace)
+
+    def _get_image_step(self, vid_source, met_colorspace, shape, dtype):
+        """Fully fused image path: dtype conversion + display model + metric
+        in a single jit."""
+        dm = vid_source.dm_photometry
+        rk = vid_source.raw_block_key() if hasattr(vid_source, "raw_block_key") else None
+        key = ("image_fused", self._dm_key(dm), rk, met_colorspace, shape,
+               str(dtype), self.do_heatmap, bool(self.dump_channels))
+        if key in self._block_fns:
+            return self._block_fns[key]
+
+        def fn(raw_t, raw_r):
+            T = self._flat_to_met(dm, raw_t, shape, met_colorspace, vid_source)
+            R = self._flat_to_met(dm, raw_r, shape, met_colorspace, vid_source)
+            B = max(T.shape[0], R.shape[0])
+            _, _, _, h, w = T.shape
+            T = jnp.broadcast_to(T, (B, 3, 1, h, w))
+            R = jnp.broadcast_to(R, (B, 3, 1, h, w))
+            Rfull = jnp.stack([T, R], axis=2).reshape(B, 6, 1, h, w)
+            Q, hm, dump = self._process_block(Rfull, temp_ch=1, is_image=True)
+            return Q, hm, Rfull[:, 0], dump
+
+        jfn = jax.jit(fn)
+        self._block_fns[key] = jfn
+        return jfn
+
+    def _get_video_step(self, vid_source, met_colorspace, shape, dtype, first):
+        """Fused video block step: dtype conversion, display model, temporal
+        FIR, pyramid, CSF, masking and pooling in one jit call per block.
+        The first block assembles its temporal-padding head in-graph; later
+        blocks carry the DKL temporal halo as donated device state."""
+        dm = vid_source.dm_photometry
+        rk = vid_source.raw_block_key() if hasattr(vid_source, "raw_block_key") else None
+        padding = self.temp_padding if first else "-"
+        key = ("video_fused", self._dm_key(dm), rk, met_colorspace, shape,
+               str(dtype), first, padding, self.filter_len, self.do_heatmap,
+               bool(self.dump_channels))
+        if key in self._block_fns:
+            return self._block_fns[key]
+
+        from ..ops.temporal import apply_temporal_filters
+
+        filt = np.stack([f[::-1] for f in self.F])
+        fl = self.filter_len
+
+        def core(T_buf, R_buf):
+            # T_buf/R_buf: (B, 3, fl-1+blk, H, W) DKL sliding windows.
+            blk = T_buf.shape[2] - (fl - 1)
+            T4 = apply_temporal_filters(T_buf, filt)
+            R4 = apply_temporal_filters(R_buf, filt)
+            B, _, nf, h, w = T4.shape
+            Rfull = jnp.stack([T4, R4], axis=2).reshape(B, 8, nf, h, w)
+            Q, hm, dump = self._process_block(Rfull, temp_ch=2, is_image=False)
+            new_tail_t = T_buf[:, :, blk:]
+            new_tail_r = R_buf[:, :, blk:]
+            return Q, hm, Rfull[:, 0], new_tail_t, new_tail_r, dump
+
+        if first and self.temp_padding == "replicate":
+
+            def fn(raw_t, raw_r):
+                T_new = self._flat_to_met(dm, raw_t, shape, met_colorspace, vid_source)
+                R_new = self._flat_to_met(dm, raw_r, shape, met_colorspace, vid_source)
+                B, C, _, H, W = T_new.shape
+                head_t = jnp.broadcast_to(T_new[:, :, 0:1], (B, C, fl - 1, H, W))
+                head_r = jnp.broadcast_to(R_new[:, :, 0:1], (B, C, fl - 1, H, W))
+                return core(
+                    jnp.concatenate([head_t, T_new], axis=2),
+                    jnp.concatenate([head_r, R_new], axis=2),
+                )
+
+            jfn = jax.jit(fn)
+        elif first:  # symmetric: mirror-index head frames uploaded separately
+
+            head_shape = (shape[0], fl - 1) + shape[2:]
+
+            def fn(head_t, head_r, raw_t, raw_r):
+                T_h = self._flat_to_met(dm, head_t, head_shape, met_colorspace, vid_source)
+                R_h = self._flat_to_met(dm, head_r, head_shape, met_colorspace, vid_source)
+                T_new = self._flat_to_met(dm, raw_t, shape, met_colorspace, vid_source)
+                R_new = self._flat_to_met(dm, raw_r, shape, met_colorspace, vid_source)
+                return core(
+                    jnp.concatenate([T_h, T_new], axis=2),
+                    jnp.concatenate([R_h, R_new], axis=2),
+                )
+
+            jfn = jax.jit(fn)
+        else:
+
+            def fn(tail_t, tail_r, raw_t, raw_r):
+                T_new = self._flat_to_met(dm, raw_t, shape, met_colorspace, vid_source)
+                R_new = self._flat_to_met(dm, raw_r, shape, met_colorspace, vid_source)
+                T_buf = jnp.concatenate([tail_t, T_new], axis=2)
+                R_buf = jnp.concatenate([tail_r, R_new], axis=2)
+                return core(T_buf, R_buf)
+
+            jfn = jax.jit(fn, donate_argnums=(0, 1))
+
+        self._block_fns[key] = jfn
+        return jfn
 
     def _process_block(self, R, temp_ch, is_image):
         """Pyramid -> CSF -> masking -> spatial pooling for one frame block
@@ -441,6 +671,7 @@ class cvvdp(vq_metric):
 
         Q_cols = []
         hm_bands = [None] * n_bands
+        dump_D = [] if self.dump_channels else None
         for bb in range(n_bands):
             is_baseband = bb == n_bands - 1
             B_bb = lpyr.get_band(B_bands, bb)
@@ -484,6 +715,11 @@ class cvvdp(vq_metric):
                 mul = 1.0 if (bb == 0 or is_baseband) else 2.0
                 hm_bands[bb] = D_chr / mul
 
+            if dump_D is not None:
+                w_d = jnp.asarray(per_ch_w).reshape(-1, 1, 1, 1) * t_int
+                mul_d = 1.0 if (bb == 0 or is_baseband) else 2.0
+                dump_D.append(D * w_d / mul_d)
+
         Q_per_ch_block = jnp.stack(Q_cols, axis=-1)  # (B, C, F, bands)
 
         if self.do_heatmap:
@@ -492,7 +728,10 @@ class cvvdp(vq_metric):
         else:
             heatmap_block = None
 
-        return Q_per_ch_block, heatmap_block
+        dump = None
+        if self.dump_channels:
+            dump = {"R": R, "bands": B_bands, "D_bands": dump_D}
+        return Q_per_ch_block, heatmap_block, dump
 
     def do_pooling_and_jods(self, Q_per_ch):
         """Band/channel/frame pooling and JOD mapping (reference:
@@ -668,9 +907,5 @@ class cvvdp(vq_metric):
         from ..viz import export_distogram
 
         export_distogram(self, stats, fname, jod_max=jod_max, base_size=base_size)
-
-    def _dump_channels_block(self, vid_source, fb, is_image, met_colorspace, ff, cur):
-        pass  # channel dumps wired in via dump_channels object (viz pass)
-
 
 register_metric(cvvdp)

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..utils.config import config_files, json2dict
-from .interp import interp1q_weights, np_batch_interp1d
+from .interp import np_batch_interp1d
 
 
 class CastleCSF:
@@ -53,33 +53,57 @@ class CastleCSF:
     def sensitivity_lut(self, rho: float, omega: float, cc: int) -> jnp.ndarray:
         return jnp.asarray(self.logS_of_logL(rho, omega, cc))
 
+    @staticmethod
+    def _hat_interp(luts: np.ndarray, ind):
+        """Evaluate piecewise-linear LUTs at fractional (clamped) index ``ind``
+        via the hat-basis identity  f(ind) = sum_k lut[k] * max(0, 1-|ind-k|).
+
+        Exactly equivalent to the two-point lerp of ``interp1q`` but with NO
+        gather: per-pixel gathers from tiny tables pad catastrophically on TPU
+        (32x tile expansion -> OOM at video scale), while this form is a chain
+        of fused multiply-adds on the VPU — one memory-bound pass.
+        """
+        n = luts.shape[-1]
+        acc = None
+        for k in range(n):
+            w = jnp.maximum(0.0, 1.0 - jnp.abs(ind - float(k)))
+            if luts.ndim == 1:
+                term = float(luts[k]) * w
+                acc = term if acc is None else acc + term
+            else:
+                terms = [float(luts[c, k]) * w for c in range(luts.shape[0])]
+                if acc is None:
+                    acc = terms
+                else:
+                    acc = [a + t for a, t in zip(acc, terms)]
+        return acc
+
+    def _index_of(self, logL_bkg):
+        x0 = float(self.log_L_bkg[0])
+        x1 = float(self.log_L_bkg[-1])
+        n = self.log_L_bkg.shape[0]
+        return jnp.clip((logL_bkg - x0) / (x1 - x0) * (n - 1), 0.0, float(n - 1))
+
     def sensitivity(self, rho: float, omega: float, logL_bkg, cc: int, sigma=None):
         """Per-pixel sensitivity (linear units). ``rho``/``omega``/``cc`` are
         static; ``logL_bkg`` is a traced array (reference: csf.py:28-51)."""
-        lut = self.sensitivity_lut(rho, omega, cc)
+        from .kernels.csf_lut import csf_lut_lookup
+
+        lut = self.logS_of_logL(rho, omega, cc)[None]
         x0, x1 = float(self.log_L_bkg[0]), float(self.log_L_bkg[-1])
-        imin, imax, frc = interp1q_weights(x0, x1, lut.shape[0], logL_bkg)
-        logS = jnp.take(lut, imin) * (1.0 - frc) + jnp.take(lut, imax) * frc
-        return 10.0 ** logS
+        return csf_lut_lookup(jnp.asarray(logL_bkg), lut, x0, x1)[0]
 
     def sensitivity_multi_channel(self, rho_per_ch, omega_per_ch, logL_bkg, channels):
-        """Fetch sensitivities for several channels sharing one ``logL_bkg``
-        field: the interpolation index is computed once and reused — a single
-        gather from a (n_ch, 32) table per pixel.
+        """Sensitivities for several channels sharing one ``logL_bkg`` field,
+        evaluated by the fused Pallas LUT kernel. Returns a stacked array with
+        a new leading channel axis."""
+        from .kernels.csf_lut import csf_lut_lookup
 
-        Returns an array shaped like ``logL_bkg`` broadcast over a new leading
-        channel axis at -4's position handled by the caller.
-        """
-        luts = jnp.stack(
+        luts = np.stack(
             [
-                self.sensitivity_lut(rho, om, cc)
+                self.logS_of_logL(rho, om, cc)
                 for rho, om, cc in zip(rho_per_ch, omega_per_ch, channels)
             ]
         )  # (n_ch, n_L)
         x0, x1 = float(self.log_L_bkg[0]), float(self.log_L_bkg[-1])
-        imin, imax, frc = interp1q_weights(x0, x1, luts.shape[1], logL_bkg)
-        # Gather per channel: take along the L axis.
-        lo = jnp.take(luts, imin, axis=1)  # (n_ch, *logL.shape)
-        hi = jnp.take(luts, imax, axis=1)
-        logS = lo * (1.0 - frc) + hi * frc
-        return 10.0 ** logS
+        return csf_lut_lookup(jnp.asarray(logL_bkg), luts, x0, x1)

@@ -71,16 +71,18 @@ def _reduce_1d(x, axis: int, odd_correction: bool):
     for i in range(5):
         sl = xp[..., i : i + 2 * (n_out - 1) + 1 : 2]
         y = K5[i] * sl if y is None else y + K5[i] * sl
-    # First-sample symmetric correction (reference: lpyr_dec.py:195,205).
-    first = y[..., 0] + x[..., 0] * K5[1] + x[..., 1] * K5[0]
-    y = y.at[..., 0].set(first)
-    # Last-sample correction, branch chosen by the caller's parity flag
-    # (reference: lpyr_dec.py:196-199,206-209).
+    # Boundary corrections via concat (scatter-free). First sample gets the
+    # symmetric reflection (reference: lpyr_dec.py:195,205); the last-sample
+    # branch is chosen by the caller's parity flag (lpyr_dec.py:196-209).
+    first = y[..., 0:1] + x[..., 0:1] * K5[1] + x[..., 1:2] * K5[0]
     if odd_correction:
-        last = y[..., -1] + x[..., -1] * K5[3] + x[..., -2] * K5[4]
+        last = y[..., -1:] + x[..., -1:] * K5[3] + x[..., -2:-1] * K5[4]
     else:
-        last = y[..., -1] + x[..., -1] * K5[4]
-    y = y.at[..., -1].set(last)
+        last = y[..., -1:] + x[..., -1:] * K5[4]
+    if n_out > 2:
+        y = jnp.concatenate([first, y[..., 1:-1], last], axis=-1)
+    else:
+        y = jnp.concatenate([first, last], axis=-1)
     return jnp.moveaxis(y, -1, axis)
 
 
@@ -97,16 +99,23 @@ def gausspyr_reduce(x):
 
 def _interleave_zeros_and_pad(x, exp_size: int):
     """Zero-interleave along the last axis to ``exp_size`` + 4 border samples
-    (reference: lpyr_dec.py:129-145)."""
-    shape = list(x.shape)
-    n = shape[-1]
-    shape[-1] = exp_size + 4
-    z = jnp.zeros(shape, x.dtype)
-    odd = exp_size % 2
-    z = z.at[..., 2 : 2 + 2 * (n - 1) + 1 : 2].set(x)
-    z = z.at[..., 0].set(x[..., 0])
-    z = z.at[..., exp_size + 2 + odd].set(x[..., -1])
-    return z
+    (reference: lpyr_dec.py:129-145). Built from stack/concat reshapes —
+    scatter-free, so XLA lowers it to cheap data movement."""
+    n = x.shape[-1]
+    assert 2 * n in (exp_size, exp_size + 1), (n, exp_size)
+    zeros = jnp.zeros_like(x)
+    lead = x.shape[:-1]
+    inter = jnp.stack([x, zeros], axis=-1).reshape(*lead, 2 * n)
+    head = jnp.stack(
+        [x[..., 0:1], zeros[..., 0:1]], axis=-1
+    ).reshape(*lead, 2)
+    if exp_size % 2 == 0:
+        tail = jnp.stack(
+            [x[..., -1:], zeros[..., -1:]], axis=-1
+        ).reshape(*lead, 2)
+    else:
+        tail = x[..., -1:]
+    return jnp.concatenate([head, inter, tail], axis=-1)
 
 
 def _expand_1d(x, axis: int, exp_size: int):

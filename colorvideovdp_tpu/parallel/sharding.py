@@ -1,0 +1,74 @@
+"""Multi-chip scaling via jax.sharding: batch (clips) x space (image rows).
+
+The metric has no gradient/weight exchange — the only cross-chip traffic is
+conv halos from the pyramid/blur (a few pixels per level) and the final
+pooling reductions (scalars), exactly the structure described in SURVEY.md
+§5.7/§5.8. We express the whole pipeline once and let GSPMD insert the
+collectives:
+
+* ``batch`` axis: independent image pairs / clips (data parallel, DCN-safe).
+* ``space`` axis: image height H (ICI): halo exchange for the 5-tap pyramid
+  kernels, psum for the spatial p-norms.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None, batch: int | None = None):
+    """Build a (batch, space) mesh over the available devices."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    n = len(devs)
+    if batch is None:
+        # Prefer spatial sharding; give batch parallelism any power-of-two
+        # excess beyond 4-way spatial.
+        batch = max(1, n // 4)
+    space = n // batch
+    arr = np.array(devs[: batch * space]).reshape(batch, space)
+    return Mesh(arr, ("batch", "space"))
+
+
+def image_pair_sharding(mesh: Mesh):
+    """Sharding for raw frame-major blocks (B, F, C, H, W): batch over B,
+    space over H."""
+    return NamedSharding(mesh, P("batch", None, None, "space", None))
+
+
+def replicated(mesh: Mesh):
+    return NamedSharding(mesh, P())
+
+
+def shard_scoring_fn(metric, vid_source, met_colorspace, raw_shape, dtype,
+                     mesh: Mesh):
+    """Compile the fused image-scoring step with multi-chip shardings.
+
+    Returns a jitted fn(raw_t, raw_r) -> (Q_per_ch, heatmap, context, dump)
+    whose inputs are (flattened) raw frame blocks laid out by
+    ``image_pair_sharding``.
+    """
+    dm = vid_source.dm_photometry
+
+    def fn(raw_t, raw_r):
+        # Inputs arrive shaped (B, F, C, H, W); reshape(shape) is a no-op that
+        # keeps the named sharding intact.
+        T = metric._flat_to_met(dm, raw_t, raw_shape, met_colorspace,
+                                vid_source)
+        R = metric._flat_to_met(dm, raw_r, raw_shape, met_colorspace,
+                                vid_source)
+        import jax.numpy as jnp
+
+        B, C, F, H, W = T.shape
+        Rfull = jnp.stack([T, R], axis=2).reshape(B, 2 * C, F, H, W)
+        Q, hm, dump = metric._process_block(Rfull, temp_ch=1, is_image=True)
+        return Q, hm
+
+    in_sh = image_pair_sharding(mesh)
+    out_sh = replicated(mesh)
+    return jax.jit(fn, in_shardings=(in_sh, in_sh),
+                   out_shardings=(out_sh, out_sh))

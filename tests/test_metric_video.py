@@ -1,0 +1,105 @@
+"""Video-path parity: minted reference goldens (BASELINE.md) and oracle
+cross-checks on small clips."""
+
+import numpy as np
+import pytest
+
+import colorvideovdp_tpu as cv
+
+
+@pytest.fixture(scope="module")
+def wavy():
+    from PIL import Image
+
+    return np.asarray(
+        Image.open("/root/reference/example_media/wavy_facade.png")
+    )
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("RUN_SLOW"),
+    reason="full-size video golden is TPU-scale; set RUN_SLOW=1 to run",
+)
+def test_static_noise_golden(wavy):
+    N, fps = 60, 30
+    V_ref = np.repeat(wavy[..., np.newaxis], N, axis=3)
+    np.random.seed(7)
+    h, w, c, _ = V_ref.shape
+    noise = np.repeat(np.random.randn(h, w, c, 1) * 0.07, N, axis=-1)
+    V_test = ((V_ref.astype(np.float32) / 255 + noise).clip(0, 1) * 255
+              ).astype(np.uint8)
+    m = cv.cvvdp(display_name="standard_4k", quiet=True)
+    Q, stats = m.predict(V_test, V_ref, dim_order="HWCF",
+                         frames_per_second=fps)
+    assert abs(float(Q) - 7.620700) < 0.005
+    assert stats["Q_per_ch"].shape == (1, 4, 60, 9)
+
+
+def test_small_video_matches_oracle(reference, wavy):
+    """Full video pipeline on a small clip vs the reference run in-process
+    (torch CPU): covers temporal filters, sliding window, block streaming."""
+    import torch
+
+    crop = wavy[100:164, 200:296]  # 64x96
+    N, fps = 12, 30
+    V_ref = np.repeat(crop[..., np.newaxis], N, axis=3)
+    rng = np.random.RandomState(3)
+    noise = rng.randn(*V_ref.shape) * 0.05
+    V_test = ((V_ref.astype(np.float32) / 255 + noise).clip(0, 1) * 255
+              ).astype(np.uint8)
+
+    m = cv.cvvdp(display_name="standard_4k", quiet=True)
+    Q, _ = m.predict(V_test, V_ref, dim_order="HWCF", frames_per_second=fps)
+
+    ref_m = reference.cvvdp(display_name="standard_4k", quiet=True,
+                            device=torch.device("cpu"))
+    with torch.no_grad():
+        Q_ref, _ = ref_m.predict(V_test, V_ref, dim_order="HWCF",
+                                 frames_per_second=fps)
+    assert abs(float(Q) - float(Q_ref)) < 2e-3
+
+
+def test_symmetric_padding_matches_oracle(reference, wavy):
+    import torch
+
+    crop = wavy[100:148, 200:280]  # 48x80
+    N, fps = 8, 30
+    V_ref = np.repeat(crop[..., np.newaxis], N, axis=3)
+    rng = np.random.RandomState(5)
+    V_test = ((V_ref.astype(np.float32) / 255
+               + rng.randn(*V_ref.shape) * 0.05).clip(0, 1) * 255
+              ).astype(np.uint8)
+
+    m = cv.cvvdp(display_name="standard_4k", quiet=True,
+                 temp_padding="symmetric")
+    Q, _ = m.predict(V_test, V_ref, dim_order="HWCF", frames_per_second=fps)
+
+    ref_m = reference.cvvdp(display_name="standard_4k", quiet=True,
+                            temp_padding="symmetric",
+                            device=torch.device("cpu"))
+    with torch.no_grad():
+        Q_ref, _ = ref_m.predict(V_test, V_ref, dim_order="HWCF",
+                                 frames_per_second=fps)
+    assert abs(float(Q) - float(Q_ref)) < 2e-3
+
+
+def test_blockwise_equals_whole_clip(wavy):
+    """Streaming in small blocks must give the same answer as one big block
+    (the temporal halo carry)."""
+    crop = wavy[100:148, 200:280]
+    N, fps = 10, 30
+    V_ref = np.repeat(crop[..., np.newaxis], N, axis=3)
+    rng = np.random.RandomState(11)
+    V_test = ((V_ref.astype(np.float32) / 255
+               + rng.randn(*V_ref.shape) * 0.05).clip(0, 1) * 255
+              ).astype(np.uint8)
+
+    m = cv.cvvdp(display_name="standard_4k", quiet=True)
+    Q_whole, _ = m.predict(V_test, V_ref, dim_order="HWCF",
+                           frames_per_second=fps)
+
+    m2 = cv.cvvdp(display_name="standard_4k", quiet=True, gpu_mem=1e-9)
+    # Tiny memory budget forces block_N_frames == 1.
+    Q_blocks, _ = m2.predict(V_test, V_ref, dim_order="HWCF",
+                             frames_per_second=fps)
+    assert abs(float(Q_whole) - float(Q_blocks)) < 1e-4

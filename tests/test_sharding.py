@@ -1,0 +1,68 @@
+"""Multi-chip execution on the virtual 8-device CPU mesh: sharded scoring
+must match single-device results bit-for-bit (within fp tolerance)."""
+
+import numpy as np
+
+import colorvideovdp_tpu as cv
+
+
+def test_dryrun_multichip():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import dryrun_multichip
+
+    dryrun_multichip(8)
+
+
+def test_sharded_matches_single():
+    import jax
+
+    from colorvideovdp_tpu.io.video_source import video_source_array
+    from colorvideovdp_tpu.parallel.sharding import (
+        image_pair_sharding,
+        make_mesh,
+        shard_scoring_fn,
+    )
+
+    n = min(8, len(jax.devices()))
+    mesh = make_mesh(n)
+    bsz = mesh.devices.shape[0]
+
+    H, W = 64, 96
+    rng = np.random.RandomState(1)
+    test = rng.randint(0, 255, (bsz, H, W, 3), dtype=np.uint8)
+    ref = rng.randint(0, 255, (bsz, H, W, 3), dtype=np.uint8)
+
+    m = cv.cvvdp(display_name="standard_4k", quiet=True)
+    m._ensure_pyramids(W, H)
+    vs = video_source_array(test, ref, 0, dim_order="BHWC",
+                            display_photometry=m.display_photometry)
+    raw_t = vs.get_raw_block("test", 0, 1)
+    raw_r = vs.get_raw_block("reference", 0, 1)
+
+    sh = image_pair_sharding(mesh)
+    fn = shard_scoring_fn(m, vs, "DKLd65", raw_t.shape, raw_t.dtype, mesh)
+    Q_sharded, _ = fn(jax.device_put(raw_t, sh), jax.device_put(raw_r, sh))
+
+    # Single-device scoring of the same batch through the public API.
+    Q_single, stats = m.predict(test, ref, dim_order="BHWC")
+    Q_s = np.asarray(m.do_pooling_and_jods(np.asarray(Q_sharded)))
+    np.testing.assert_allclose(
+        np.asarray(Q_s).reshape(-1), np.asarray(Q_single).reshape(-1),
+        atol=1e-4,
+    )
+
+
+def test_entry_compiles():
+    import sys
+
+    import jax
+
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import entry
+
+    fn, args = entry()
+    out = fn(*args)
+    Q = np.asarray(out[0])
+    assert np.all(np.isfinite(Q))
