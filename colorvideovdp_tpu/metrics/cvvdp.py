@@ -131,7 +131,9 @@ class cvvdp(vq_metric):
             self.ch_weights = np.asarray(p["ch_weights"], np.float32)
         self.sigma_tf = np.asarray(p["sigma_tf"], np.float32)
         self.beta_tf = np.asarray(p["beta_tf"], np.float32)
-        self.baseband_weight = np.asarray(p["baseband_weight"], np.float32)
+        self.baseband_weight = np.atleast_1d(
+            np.asarray(p["baseband_weight"], np.float32)
+        )
         self.dclamp_type = p["dclamp_type"]
         self.d_max = float(p["d_max"]) if np.isscalar(p["d_max"]) else np.asarray(
             p["d_max"], np.float32
