@@ -681,8 +681,8 @@ class cvvdp(vq_metric):
             R_f = B_bb[:, 1::2]
 
             # Sensitivity is extracted for the reference image's adaptation
-            # field (channel index 1 of the (test, ref) pair).
-            logL = L_bkg_pyr[bb][..., 1:2, :, :, :]
+            # field (the pyramid already returns only that channel).
+            logL = L_bkg_pyr[bb]
             rho = float(rho_band[bb])
             luts = [
                 (rho, self.omega[0 if cc < 3 else 1], cc if cc < 3 else 0)

@@ -284,7 +284,7 @@ class cvvdp_ml_base(cvvdp):
             B_bb = lpyr.get_band(B_bands, bb)
             T_f = B_bb[:, 0::2]
             R_f = B_bb[:, 1::2]
-            logL = L_bkg_pyr[bb][..., 1:2, :, :, :]
+            logL = L_bkg_pyr[bb]
             rho = float(rho_band[bb])
             luts = [
                 (rho, self.omega[0 if cc < 3 else 1], cc if cc < 3 else 0)

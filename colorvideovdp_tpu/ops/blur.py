@@ -4,12 +4,16 @@ Replicates torchvision ``GaussianBlur`` as used for phase uncertainty and
 texture masking (reference: pycvvdp/cvvdp_metric.py:157-159,963-971):
 1-D kernel exp(-0.5 (x/sigma)^2) normalised to 1, reflect (edge-excluded)
 padding, applied separably over the last two axes.
+
+Each pass operates natively along its axis with shifted slices — no
+transposes (layout changes are among the most expensive ops on TPU).
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 
 def gaussian_kernel1d(kernel_size: int, sigma: float) -> np.ndarray:
@@ -21,15 +25,17 @@ def gaussian_kernel1d(kernel_size: int, sigma: float) -> np.ndarray:
 
 def _blur_1d(x, k: np.ndarray, axis: int):
     r = (len(k) - 1) // 2
-    x = jnp.moveaxis(x, axis, -1)
-    pad = [(0, 0)] * (x.ndim - 1) + [(r, r)]
+    nd = x.ndim
+    ax = axis % nd
+    pad = [(0, 0)] * nd
+    pad[ax] = (r, r)
     xp = jnp.pad(x, pad, mode="reflect")
-    n = x.shape[-1]
+    n = x.shape[ax]
     y = None
     for i in range(len(k)):
-        term = k[i] * xp[..., i : i + n]
+        term = float(k[i]) * lax.slice_in_dim(xp, i, i + n, axis=ax)
         y = term if y is None else y + term
-    return jnp.moveaxis(y, -1, axis)
+    return y
 
 
 def gaussian_blur(x, kernel_size: int, sigma: float):

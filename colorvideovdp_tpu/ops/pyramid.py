@@ -25,6 +25,7 @@ from functools import partial
 
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 KERNEL_A = 0.4
 # [0.25 - a/2, 0.25, a, 0.25, 0.25 - a/2]
@@ -55,35 +56,58 @@ def pyramid_band_freqs(W: int, H: int, ppd: float, min_freq: float = 0.2):
     return band_freqs, height
 
 
+def _conv_1axis(x, K: np.ndarray, axis: int, stride: int = 1,
+                lhs_dilation: int = 1, pad=(2, 2)):
+    """5-tap conv along one of the last two axes of a (..., H, W) array via
+    ``lax.conv_general_dilated`` (XLA's strided-conv lowering beats manual
+    lane-strided slicing on TPU by ~5x). fp32-exact (HIGHEST precision)."""
+    lead = x.shape[:-2]
+    H, W = x.shape[-2], x.shape[-1]
+    img = x.reshape(-1, 1, H, W)
+    k = jnp.asarray(K, x.dtype)
+    if axis == -2:
+        kern = k.reshape(1, 1, K.shape[0], 1)
+        strides = (stride, 1)
+        padding = [tuple(pad), (0, 0)]
+        dil = (lhs_dilation, 1)
+    else:
+        kern = k.reshape(1, 1, 1, K.shape[0])
+        strides = (1, stride)
+        padding = [(0, 0), tuple(pad)]
+        dil = (1, lhs_dilation)
+    y = lax.conv_general_dilated(
+        img, kern, strides, padding, lhs_dilation=dil,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=lax.Precision.HIGHEST,
+    )
+    return y.reshape(lead + y.shape[-2:])
+
+
 def _reduce_1d(x, axis: int, odd_correction: bool):
-    """One separable reduce pass along ``axis`` (-1 or -2): stride-2 5-tap conv
-    with symmetric boundary corrections.
+    """One separable reduce pass along ``axis`` (-1 or -2): stride-2 5-tap
+    zero-padded conv plus the reference's explicit boundary corrections
+    (reference: lpyr_dec.py:186-211).
 
     ``odd_correction`` selects which last-sample correction branch is applied —
     the caller passes row-parity for BOTH passes to replicate the reference.
     """
-    x = jnp.moveaxis(x, axis, -1)
-    n = x.shape[-1]
-    n_out = (n - 1) // 2 + 1
-    pad = [(0, 0)] * (x.ndim - 1) + [(2, 2)]
-    xp = jnp.pad(x, pad)
-    y = None
-    for i in range(5):
-        sl = xp[..., i : i + 2 * (n_out - 1) + 1 : 2]
-        y = K5[i] * sl if y is None else y + K5[i] * sl
-    # Boundary corrections via concat (scatter-free). First sample gets the
-    # symmetric reflection (reference: lpyr_dec.py:195,205); the last-sample
-    # branch is chosen by the caller's parity flag (lpyr_dec.py:196-209).
-    first = y[..., 0:1] + x[..., 0:1] * K5[1] + x[..., 1:2] * K5[0]
+    y = _conv_1axis(x, K5, axis, stride=2)
+    ax = axis % x.ndim
+    n = x.shape[ax]
+    n_out = y.shape[ax]
+
+    def sx(a, s, e):
+        return lax.slice_in_dim(a, s, e, axis=ax)
+
+    first = sx(y, 0, 1) + sx(x, 0, 1) * K5[1] + sx(x, 1, 2) * K5[0]
     if odd_correction:
-        last = y[..., -1:] + x[..., -1:] * K5[3] + x[..., -2:-1] * K5[4]
+        last = (sx(y, n_out - 1, n_out) + sx(x, n - 1, n) * K5[3]
+                + sx(x, n - 2, n - 1) * K5[4])
     else:
-        last = y[..., -1:] + x[..., -1:] * K5[4]
+        last = sx(y, n_out - 1, n_out) + sx(x, n - 1, n) * K5[4]
     if n_out > 2:
-        y = jnp.concatenate([first, y[..., 1:-1], last], axis=-1)
-    else:
-        y = jnp.concatenate([first, last], axis=-1)
-    return jnp.moveaxis(y, -1, axis)
+        return jnp.concatenate([first, sx(y, 1, n_out - 1), last], axis=ax)
+    return jnp.concatenate([first, last], axis=ax)
 
 
 def gausspyr_reduce(x):
@@ -97,35 +121,49 @@ def gausspyr_reduce(x):
     return _reduce_1d(y, -1, odd_correction=rows_odd)
 
 
-def _interleave_zeros_and_pad(x, exp_size: int):
-    """Zero-interleave along the last axis to ``exp_size`` + 4 border samples
-    (reference: lpyr_dec.py:129-145). Built from stack/concat reshapes —
-    scatter-free, so XLA lowers it to cheap data movement."""
-    n = x.shape[-1]
+def _interleave_zeros_and_pad(x, exp_size: int, axis: int):
+    """Zero-interleave along ``axis`` to ``exp_size`` + 4 border samples
+    (reference: lpyr_dec.py:129-145). Built from stack/concat reshapes along
+    the native axis — scatter- and transpose-free."""
+    nd = x.ndim
+    ax = axis % nd
+    n = x.shape[ax]
     assert 2 * n in (exp_size, exp_size + 1), (n, exp_size)
     zeros = jnp.zeros_like(x)
-    lead = x.shape[:-1]
-    inter = jnp.stack([x, zeros], axis=-1).reshape(*lead, 2 * n)
-    head = jnp.stack(
-        [x[..., 0:1], zeros[..., 0:1]], axis=-1
-    ).reshape(*lead, 2)
+
+    def interleave(a, b):
+        # (..., n, ...) pair -> (..., 2n, ...) along ax
+        st = jnp.stack([a, b], axis=ax + 1)
+        sh = list(a.shape)
+        sh[ax] = a.shape[ax] * 2
+        return st.reshape(sh)
+
+    def sl(a, start, stop):
+        return lax.slice_in_dim(a, start, stop, axis=ax)
+
+    inter = interleave(x, zeros)
+    head = interleave(sl(x, 0, 1), sl(zeros, 0, 1))
     if exp_size % 2 == 0:
-        tail = jnp.stack(
-            [x[..., -1:], zeros[..., -1:]], axis=-1
-        ).reshape(*lead, 2)
+        tail = interleave(sl(x, n - 1, n), sl(zeros, n - 1, n))
     else:
-        tail = x[..., -1:]
-    return jnp.concatenate([head, inter, tail], axis=-1)
+        tail = sl(x, n - 1, n)
+    return jnp.concatenate([head, inter, tail], axis=ax)
 
 
 def _expand_1d(x, axis: int, exp_size: int):
-    x = jnp.moveaxis(x, axis, -1)
-    z = _interleave_zeros_and_pad(x, exp_size)
+    """Zero-interleaved upsample + 5-tap valid conv as shifted multiply-adds
+    along the native axis (measured: beats lhs-dilated convs ~4x and avoids
+    transposes)."""
+    nd = x.ndim
+    ax = axis % nd
+    z = _interleave_zeros_and_pad(x, exp_size, axis)
     y = None
     for i in range(5):
-        sl = z[..., i : i + exp_size]
-        y = (2.0 * K5[i]) * sl if y is None else y + (2.0 * K5[i]) * sl
-    return jnp.moveaxis(y, -1, axis)
+        term = (2.0 * float(K5[i])) * lax.slice_in_dim(
+            z, i, i + exp_size, axis=ax
+        )
+        y = term if y is None else y + term
+    return y
 
 
 def gausspyr_expand(x, sz=None):
@@ -203,7 +241,10 @@ class WeberContrastPyramid(LaplacianPyramid):
 
     ``decompose`` expects frames with interleaved test/reference channels at
     axis -4 (test even, reference odd) and returns
-    ``(contrast_bands, log10_L_bkg_bands)``.
+    ``(contrast_bands, log10_L_bkg_bands)``. The log-luminance bands carry a
+    single channel — the *reference* adaptation field, which is the only one
+    the metric consumes (reference: cvvdp_metric.py:709 indexes [...,1:2]) —
+    so the test-channel log10 is never computed.
     """
 
     def __init__(self, W, H, ppd, contrast: str = "weber_g1"):
@@ -256,7 +297,9 @@ class WeberContrastPyramid(LaplacianPyramid):
                 contrast = jnp.clip(layer / L_bkg, None, 1000.0)
 
             lpyr.append(contrast)
-            L_bkg_pyr.append(jnp.log10(L_bkg))
+            # Only the reference channel's log-luminance is consumed.
+            L_ref = L_bkg[..., 1:2, :, :, :] if L_bkg.shape[-4] == 2 else L_bkg
+            L_bkg_pyr.append(jnp.log10(L_ref))
         return lpyr, L_bkg_pyr
 
 
@@ -282,11 +325,11 @@ class LogContrastPyramid(LaplacianPyramid):
         for i in range(height):
             if i == height - 1:
                 contrast = gpyr[i]
-                L_bkg = self.a * (gpyr[i][..., 0:2, :, :, :] - self.b)
+                L_bkg = self.a * (gpyr[i][..., 1:2, :, :, :] - self.b)
             else:
                 glayer_ex = gausspyr_expand(gpyr[i + 1], gpyr[i].shape[-2:])
                 contrast = gpyr[i] - glayer_ex
-                L_bkg = self.a * (glayer_ex[..., 0:2, :, :, :] - self.b)
+                L_bkg = self.a * (glayer_ex[..., 1:2, :, :, :] - self.b)
             lpyr.append(contrast)
             L_bkg_pyr.append(L_bkg)
         return lpyr, L_bkg_pyr

@@ -59,9 +59,11 @@ def test_weber_contrast_pyramid_matches_reference(reference):
         np.testing.assert_allclose(
             np.asarray(Bm[bb]), Br[bb].numpy(), atol=2e-5
         )
-        np.testing.assert_allclose(
-            np.asarray(Lm[bb]), Lr[bb].numpy(), atol=1e-4
-        )
+        # Our pyramid returns only the reference-channel log-luminance.
+        ref_logL = Lr[bb].numpy()
+        ref_logL = ref_logL[..., 1:2, :, :, :] if ref_logL.shape[-4] == 2 \
+            else ref_logL
+        np.testing.assert_allclose(np.asarray(Lm[bb]), ref_logL, atol=1e-4)
 
 
 def test_reconstruct_inverts_decompose():
