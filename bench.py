@@ -1,10 +1,13 @@
 """Benchmark: full cvvdp pass throughput on one TPU chip.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N, ...}
 
 Headline (BASELINE.json): 4K30 HDR video scored faster than real time on a
-single chip — vs_baseline is measured fps / 30.
+single chip — vs_baseline is measured end-to-end fps / 30. ``device_fps``
+reports the metric pass alone with inputs resident on the chip (this dev
+environment funnels host<->device traffic through a slow single-core tunnel
+that real deployments do not have).
 """
 
 from __future__ import annotations
@@ -18,18 +21,21 @@ import numpy as np
 
 def main():
     quick = "--quick" in sys.argv
+    import jax
+
     import colorvideovdp_tpu as cv
+    from colorvideovdp_tpu.io.video_source import video_source_array
+    from colorvideovdp_tpu.ops.temporal import get_temporal_filters
 
     H, W = (720, 1280) if quick else (2160, 3840)
     N = 16 if quick else 32
     fps = 30.0
 
     rng = np.random.RandomState(7)
-    # Synthetic HDR content: PQ-encoded gradients + noise, uint8 quantised
+    # Synthetic HDR content: PQ-encoded gradient + noise, uint8 quantised
     # (decode is out of scope — the metric pass itself is the unit).
     base = np.linspace(0.1, 0.7, W, dtype=np.float32)[None, :, None]
-    ref = np.broadcast_to(base, (H, W, 3)).copy()
-    ref = (ref * 255).astype(np.uint8)
+    ref = (np.broadcast_to(base, (H, W, 3)) * 255).astype(np.uint8)
     V_ref = np.repeat(ref[:, :, :, None], N, axis=3)
     noise = (rng.randn(H, W, 3, N) * 8).astype(np.int16)
     V_test = np.clip(V_ref.astype(np.int16) + noise, 0, 255).astype(np.uint8)
@@ -43,13 +49,44 @@ def main():
     t0 = time.time()
     Q, _ = m.predict(V_test, V_ref, dim_order="HWCF", frames_per_second=fps)
     warm = time.time() - t0
+    e2e_fps = N / warm
 
-    value = N / warm
+    # Device-only: run one block step repeatedly on chip-resident inputs.
+    m.F, _ = get_temporal_filters(fps, m.sigma_tf, m.beta_tf)
+    m.filter_len = int(m.F[0].shape[0])
+    vs = video_source_array(V_test, V_ref, fps, dim_order="HWCF",
+                            display_photometry=m.display_photometry)
+    blk = min(m.estimate_block_N(H * W, N), N)
+    raw_t = vs.get_raw_block("test", 0, blk)
+    raw_r = vs.get_raw_block("reference", 0, blk)
+    fl = m.filter_len
+    # Use the non-first step (steady-state shape): carry tails + block.
+    step = m._get_video_step(vs, "DKLd65", raw_t.shape, raw_t.dtype,
+                             first=False)
+    import jax.numpy as jnp
+
+    tails = [jnp.zeros((1, 3, fl - 1, H, W), jnp.float32) + 50.0
+             for _ in range(2)]
+    dt = m._put_flat(raw_t)
+    dr = m._put_flat(raw_r)
+    out = step(tails[0], tails[1], dt, dr)
+    float(np.asarray(out[0]).sum())
+    tails = [out[3], out[4]]
+    times = []
+    for i in range(4):
+        t0 = time.perf_counter()
+        out = step(tails[0], tails[1], dt + np.uint8(i % 2), dr)
+        float(np.asarray(out[0]).sum())  # force execution
+        tails = [out[3], out[4]]
+        times.append(time.perf_counter() - t0)
+    dev_fps = blk / min(times)
+
     out = {
         "metric": f"{W}x{H} HDR cvvdp frames/sec/chip (warm, end-to-end)",
-        "value": round(value, 3),
+        "value": round(e2e_fps, 3),
         "unit": "fps",
-        "vs_baseline": round(value / 30.0, 3),
+        "vs_baseline": round(e2e_fps / 30.0, 3),
+        "device_fps": round(dev_fps, 2),
         "jod": round(float(np.asarray(Q).reshape(-1)[0]), 4),
         "cold_s": round(cold, 1),
     }

@@ -126,7 +126,17 @@ class YUVReader:
     def get_packed_frames(self, start, count):
         """Contiguous packed planar frames (count, frame_pixels); tail frames
         repeat the last available frame."""
+        from ..utils import native
+
         mm = self._map()
+        if native.available():
+            # Single GIL-free memcpy gather straight out of the memmap.
+            src = np.asarray(mm[: self.frames * self.frame_pixels]).reshape(
+                self.frames, self.frame_pixels
+            )
+            out = native.pack_frame_block(src, start, count)
+            if out is not None:
+                return out
         end = min(start + count, self.frames)
         o = start * self.frame_pixels
         data = np.asarray(mm[o : end * self.frame_pixels]).reshape(

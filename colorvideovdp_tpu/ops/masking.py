@@ -103,6 +103,8 @@ class MaskingParams:
     ce_g: float | None = None
     k_c: float | None = None
 
+    TEX_BLUR_SIGMA = 8.0
+
     @property
     def pu_kernel_size(self) -> int:
         return int(self.pu_dilate * 4) + 1
@@ -110,6 +112,14 @@ class MaskingParams:
     @property
     def pu_padsize(self) -> int:
         return int(self.pu_dilate * 2)
+
+    @property
+    def tex_kernel_size(self) -> int:
+        return int(self.TEX_BLUR_SIGMA * 4) + 1
+
+    @property
+    def tex_pad_size(self) -> int:
+        return int(self.TEX_BLUR_SIGMA * 2)
 
 
 def mask_pool(C, params: MaskingParams):
@@ -182,6 +192,8 @@ def apply_masking_model(T, R, S, params: MaskingParams):
         "mult-mutual-old",
         "add-similarity",
         "mult-similarity",
+        "mult-transducer-texture",
+        "add-transducer-texture",
     ):
         if model.startswith("add"):
             ch_gain = jnp.asarray(
@@ -230,6 +242,28 @@ def apply_masking_model(T, R, S, params: MaskingParams):
             k_c = params.k_c
             return k_c * D_m / (k_c + D_m)
 
+        if model.endswith("transducer-texture"):
+            # Local texture statistics on the transduced responses
+            # (reference: cvvdp_metric.py:873-895).
+            if (T_p.shape[-2] <= params.tex_pad_size
+                    or T_p.shape[-1] <= params.tex_pad_size):
+                return jnp.abs(_cm_transd(T_p, params)
+                               - _cm_transd(R_p, params))
+            T_t = _cm_transd(T_p, params)
+            R_t = _cm_transd(R_p, params)
+            ks, sg = params.tex_kernel_size, params.TEX_BLUR_SIGMA
+            mu_T = gaussian_blur(T_t, ks, sg)
+            mu_R = gaussian_blur(R_t, ks, sg)
+            sigma_T_sq = jnp.clip(
+                gaussian_blur(T_t * T_t, ks, sg) - mu_T * mu_T, 0.0, None
+            )
+            sigma_R_sq = jnp.clip(
+                gaussian_blur(R_t * R_t, ks, sg) - mu_R * mu_R, 0.0, None
+            )
+            return jnp.abs(mu_T - mu_R) + jnp.abs(
+                jnp.sqrt(sigma_T_sq) - jnp.sqrt(sigma_R_sq)
+            )
+
         # similarity
         T_p_m = phase_uncertainty(mask_pool(jnp.abs(T_p), params), params)
         R_p_m = phase_uncertainty(mask_pool(jnp.abs(R_p), params), params)
@@ -238,6 +272,41 @@ def apply_masking_model(T, R, S, params: MaskingParams):
         return D_max - D_max * (2.0 * jnp.abs(T_p) * jnp.abs(R_p) + eps) / (
             T_p_m * T_p_m + R_p_m * R_p_m + eps
         )
+
+    if model in ("smooth_clamp_cont", "min_mutual_masking_perc_norm2",
+                 "fvvdp_ch_gain"):
+        # Legacy fvvdp-style masking family (reference:
+        # cvvdp_metric.py:909-939).
+        if model == "fvvdp_ch_gain":
+            ch_gain = jnp.asarray(
+                np.array([1.0, 1.45, 1.0, 1.0], np.float32)[:num_ch].reshape(
+                    num_ch, 1, 1, 1
+                )
+            )
+            T = T * S * ch_gain
+            R = R * S * ch_gain
+        else:
+            T = T * S
+            R = R * S
+        M_pu = phase_uncertainty(jnp.minimum(jnp.abs(T), jnp.abs(R)), params)
+        M = mask_pool(M_pu, params) if params.do_xchannel_masking else M_pu
+        q = jnp.asarray(params.mask_q, T.dtype)[:num_ch].reshape(
+            num_ch, 1, 1, 1
+        )
+        p = params.mask_p
+        G = jnp.abs(T - R)
+        if model == "smooth_clamp_cont":
+            max_v = 10.0**params.d_max
+            Gp = G**p
+            D_u = ((max_v * Gp + 1.0) / (max_v + Gp)) / (
+                1.0 + safe_pow(M, q)
+            )
+            # NOTE: the reference compares against the misspelled
+            # "soft_clamp_cont" (cvvdp_metric.py:936), so the clamp is
+            # applied here too — replicated for parity.
+            return clamp_diffs(D_u, params)
+        D_u = safe_pow(G, p) / (1.0 + safe_pow(M, q))
+        return clamp_diffs(D_u, params)
 
     raise RuntimeError(f"Unknown masking model {model}")
 

@@ -90,7 +90,13 @@ def write(fname: str, img: np.ndarray, half: bool = False,
 
 def _exr_zip_compress(data: bytes) -> bytes:
     # OpenEXR zip (ImfZip.cpp): split bytes into two halves by alternation,
-    # delta-predict over the whole buffer, then deflate.
+    # delta-predict over the whole buffer, then deflate. Uses the native
+    # C++ codec when built (native/cvvdp_io.cpp), numpy otherwise.
+    from . import native
+
+    out = native.exr_zip_compress(data) if native.available() else None
+    if out is not None:
+        return out
     arr = np.frombuffer(data, np.uint8)
     half = (len(arr) + 1) // 2
     buf = np.concatenate([arr[0::2], arr[1::2]])
@@ -103,6 +109,12 @@ def _exr_zip_compress(data: bytes) -> bytes:
 def _exr_zip_decompress_fast(data: bytes, expected: int) -> bytes:
     if len(data) == expected:
         return data
+    from . import native
+
+    out = native.exr_zip_decompress(data, expected) if native.available() \
+        else None
+    if out is not None:
+        return out
     raw = zlib.decompress(data)
     d = np.frombuffer(raw, np.uint8).astype(np.int64)
     # prefix-sum undo of the delta predictor (d[0] kept verbatim)

@@ -1,0 +1,22 @@
+"""Score the ferris-wheel aliasing clips (mp4 decode via OpenCV).
+Run from the repository root:  python examples/ex_aliasing.py"""
+
+import os
+import time
+
+import colorvideovdp_tpu as cvvdp
+from colorvideovdp_tpu.io.video_source_file import video_source_file
+
+MEDIA = os.environ.get("CVVDP_MEDIA", "/root/reference/example_media")
+
+metric = cvvdp.cvvdp(display_name="sdr_fhd_24", quiet=True)
+ref = os.path.join(MEDIA, "aliasing", "ferris-ref.mp4")
+for cond in ("bicubic-bicubic", "bicubic-nearest", "nearest-bicubic",
+             "nearest-nearest"):
+    test = os.path.join(MEDIA, "aliasing", f"ferris-{cond}.mp4")
+    vs = video_source_file(test, ref,
+                           display_photometry=metric.display_photometry)
+    start = time.time()
+    Q, _ = metric.predict_video_source(vs)
+    print(f"ferris-{cond}: {float(Q):.4f} JOD "
+          f"({time.time() - start:.2f}s)")

@@ -127,3 +127,30 @@ def test_video_writer_mp4(tmp_path):
         vw.write_frame_rgb(np.random.rand(48, 64, 3).astype(np.float32))
     vw.close()
     assert os.path.getsize(f) > 500
+
+
+def test_exr_native_numpy_interop(tmp_path):
+    """EXR files written with the native codec decode with the numpy path
+    and vice versa."""
+    from colorvideovdp_tpu.utils import exr, native
+
+    img = np.random.RandomState(3).rand(21, 45, 3).astype(np.float32) * 10
+    f1 = str(tmp_path / "n.exr")
+    exr.write(f1, img, compression="zip")
+    # force numpy path for decode
+    was = native._LIB
+    try:
+        native._LIB = None
+        back = exr.read(f1)
+    finally:
+        native._LIB = was
+    np.testing.assert_allclose(back, img, rtol=1e-6)
+    # numpy-written, native-read
+    try:
+        native._LIB = None
+        f2 = str(tmp_path / "p.exr")
+        exr.write(f2, img, compression="zip")
+    finally:
+        native._LIB = was
+    back2 = exr.read(f2)
+    np.testing.assert_allclose(back2, img, rtol=1e-6)
