@@ -125,8 +125,10 @@ class DumpChannels:
             axis=-2,
         )
         for ff in range(frame.shape[2]):
-            de = np.clip((frame[0, :, ff] / self.max_V) ** (1 / 2.2) * 255,
-                         0, 255)
+            # negative (out-of-gamut) values would NaN under the display
+            # gamma; clamp first (torch casts the NaNs to 0 downstream)
+            v = np.clip(frame[0, :, ff] / self.max_V, 0, None)
+            de = np.clip(v ** (1 / 2.2) * 255, 0, 255)
             self.vw_channels.write_frame_rgb(
                 de.transpose(1, 2, 0).astype(np.uint8)
             )
@@ -169,7 +171,8 @@ class DumpChannels:
                 else:
                     pos[0] += band.shape[-2] + 1
         for ff in range(frames):
-            de = np.clip(lpv[:, ff] ** (1 / 2.2) * 255, 0, 255)
+            de = np.clip(np.clip(lpv[:, ff], 0, None) ** (1 / 2.2) * 255,
+                         0, 255)
             self.vw_lpyr.write_frame_rgb(
                 de.transpose(1, 2, 0).astype(np.uint8)
             )
@@ -205,7 +208,8 @@ class DumpChannels:
                 else:
                     pos[0] += band.shape[-2] + 1
         for ff in range(frames):
-            de = np.clip(lpv[:, ff] ** (1 / 2.2) * 255, 0, 255)
+            de = np.clip(np.clip(lpv[:, ff], 0, None) ** (1 / 2.2) * 255,
+                         0, 255)
             self.vw_diff.write_frame_rgb(
                 de.transpose(1, 2, 0).astype(np.uint8)
             )

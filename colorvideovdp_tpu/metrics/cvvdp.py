@@ -227,6 +227,7 @@ class cvvdp(vq_metric):
         Q_blocks = []
         fb = {"sw": [None, None], "ra": [[], []]}
         tails = [None, None]
+        prefetch = None  # [start_frame, thread, [raw_t, raw_r]]
 
         # Symmetric-padding head indices are static (reference:
         # cvvdp_metric.py:445-450,506-532).
@@ -274,10 +275,41 @@ class cvvdp(vq_metric):
                 # Fast path: contiguous zero-copy block slice on the host, one
                 # flat DMA per source, one fused jit call per block; the
                 # temporal halo (fl-1 DKL frames) is donated device state.
-                raw_t_np = vid_source.get_raw_block("test", ff, block_N_frames)
-                raw_r_np = vid_source.get_raw_block(
-                    "reference", ff, block_N_frames
-                )
+                # Decode is prefetched one block ahead on a worker thread
+                # (the producer/consumer split the reference gets from its
+                # ffmpeg subprocess, SURVEY §2.9).
+                if prefetch is not None and prefetch[0] == ff:
+                    prefetch[1].join()
+                    raw_t_np, raw_r_np = prefetch[2]
+                else:
+                    raw_t_np = vid_source.get_raw_block(
+                        "test", ff, block_N_frames
+                    )
+                    raw_r_np = vid_source.get_raw_block(
+                        "reference", ff, block_N_frames
+                    )
+                nxt = ff + block_N_frames
+                # Symmetric padding reads head frames from the source after
+                # this point on the first block — do not race it.
+                if nxt < N_frames and (
+                    ff > 0 or self.temp_padding == "replicate"
+                ):
+                    prefetch = [nxt, None, [None, None]]
+
+                    def _fetch(slot=prefetch, start=nxt):
+                        slot[2][0] = vid_source.get_raw_block(
+                            "test", start, block_N_frames
+                        )
+                        slot[2][1] = vid_source.get_raw_block(
+                            "reference", start, block_N_frames
+                        )
+
+                    import threading
+
+                    prefetch[1] = threading.Thread(target=_fetch, daemon=True)
+                    prefetch[1].start()
+                else:
+                    prefetch = None
                 fn = self._get_video_step(
                     vid_source, met_colorspace, raw_t_np.shape, raw_t_np.dtype,
                     first=(ff == 0),

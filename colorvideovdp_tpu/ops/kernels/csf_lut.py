@@ -92,7 +92,32 @@ def _make_lookup(luts_key, luts, x0, x1):
     scale = float((n - 1) / (x1 - x0))
     interp = jax.default_backend() != "tpu"
 
+    def _forward_natural(logL):
+        """Tile directly over the trailing (H, W) dims — no relayout."""
+        orig_shape = logL.shape
+        H, W = orig_shape[-2], orig_shape[-1]
+        L = int(np.prod(orig_shape[:-2])) if len(orig_shape) > 2 else 1
+        x3 = logL.reshape(L, H, W)
+        th = 128 if H >= 128 else -(-H // 8) * 8
+        grid = (L, -(-H // th))
+        kern = functools.partial(_fwd_kernel, luts=luts, x0=float(x0),
+                                 scale=scale)
+        out = pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=[pl.BlockSpec((1, th, W), lambda l, i: (l, i, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((C, 1, th, W), lambda l, i: (0, l, i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((C, L, H, W), jnp.float32),
+            interpret=interp,
+        )(x3)
+        return out.reshape((C,) + orig_shape)
+
     def forward(logL):
+        if (logL.ndim >= 2 and logL.shape[-1] >= _LANE
+                and logL.shape[-2] >= 8):
+            return _forward_natural(logL)
         x2d, orig_shape, P, rows_pad = _pad_2d(logL, x0)
         kern = functools.partial(_fwd_kernel, luts=luts, x0=float(x0),
                                  scale=scale)
