@@ -703,6 +703,15 @@ class cvvdp(vq_metric):
         per_ch_w = self.get_ch_weights(all_ch)
         t_int = self.image_int if is_image else 1.0
 
+        # The calibrated default configuration runs through the fused Pallas
+        # masking kernels (CSF + contrast coding + mutual masking transducer).
+        can_fuse = (
+            self.masking_model == "mult-mutual"
+            and self.do_xchannel_masking
+            and self.dclamp_type == "soft"
+            and np.asarray(self.d_max).size == 1
+        )
+
         Q_cols = []
         hm_bands = [None] * n_bands
         dump_D = [] if self.dump_channels else None
@@ -720,17 +729,39 @@ class cvvdp(vq_metric):
                 (rho, self.omega[0 if cc < 3 else 1], cc if cc < 3 else 0)
                 for cc in range(all_ch)
             ]
-            S = self.csf.sensitivity_multi_channel(
-                [l[0] for l in luts], [l[1] for l in luts], logL,
-                [l[2] for l in luts],
-            )
-            # (all_ch, B, 1, F, h, w) -> (B, all_ch, F, h, w)
-            S = jnp.moveaxis(S, 0, 1)[:, :, 0] * sens_corr
+            h_b, w_b = T_f.shape[-2], T_f.shape[-1]
+            if (not is_baseband and can_fuse and h_b >= 8 and w_b >= 128
+                    and T_f.shape[0] == logL.shape[0]):
+                from ..ops.kernels.masking_fused import make_fused_mult_mutual
 
-            if is_baseband:
-                D = jnp.abs(T_f - R_f) * S
+                lut_rows = np.stack([
+                    self.csf.logS_of_logL(rho, om, cc)
+                    for _r, om, cc in luts
+                ])
+                x0 = float(self.csf.log_L_bkg[0])
+                x1 = float(self.csf.log_L_bkg[-1])
+                gains = np.array([1.0, 1.45, 1.0, 1.0],
+                                 np.float32)[:all_ch]
+
+                def blur_fn(M, _p=params):
+                    return mk.phase_uncertainty(M, _p)
+
+                fused = make_fused_mult_mutual(
+                    lut_rows, x0, x1, gains, sens_corr, params, blur_fn
+                )
+                D = fused(T_f, R_f, logL)
             else:
-                D = mk.apply_masking_model(T_f, R_f, S, params)
+                S = self.csf.sensitivity_multi_channel(
+                    [l[0] for l in luts], [l[1] for l in luts], logL,
+                    [l[2] for l in luts],
+                )
+                # (all_ch, B, 1, F, h, w) -> (B, all_ch, F, h, w)
+                S = jnp.moveaxis(S, 0, 1)[:, :, 0] * sens_corr
+
+                if is_baseband:
+                    D = jnp.abs(T_f - R_f) * S
+                else:
+                    D = mk.apply_masking_model(T_f, R_f, S, params)
 
             Q_cols.append(
                 mk.lp_norm(D, self.beta, dim=(-2, -1), normalize=True,

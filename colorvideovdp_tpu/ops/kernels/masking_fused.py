@@ -1,0 +1,196 @@
+"""Fused Pallas kernels for the calibrated masking path (mult-mutual).
+
+The per-band inner loop — CSF sensitivity, contrast coding, mutual masking,
+cross-channel mixing, the excitation/inhibition transducer and the soft
+clamp — is the metric's memory-bound hot spot. Two kernels bracket the
+phase-uncertainty blur (which needs a spatial halo and stays in XLA):
+
+  kernel A: S = 10^lut(logL); T_p = T*S*g; R_p = R*S*g;
+            M_pre = min(|T_p|, |R_p|);  diff = |T_p - R_p|
+  kernel B: m_c = safe_pow(M_c, q_c); mix = m @ 2^xcm;
+            D = soft_clamp( safe_pow(diff, p) / (1 + mix) )
+
+Gradients (the metric's loss mode) route through a custom VJP whose backward
+recomputes with the plain-jnp implementation.
+
+Applies only to the calibrated default configuration (mult-mutual masking,
+cross-channel mixing on, soft scalar clamp); other models use the generic
+jnp path in ops/masking.py.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_EPS = 1e-5
+
+
+def _lut_eval(logL, luts, x0, scale):
+    n = luts.shape[1]
+    ind = jnp.clip((logL - x0) * scale, 0.0, float(n - 1))
+    i0 = jnp.floor(ind)
+    frc = ind - i0
+    vals = []
+    for c in range(luts.shape[0]):
+        acc = None
+        for k in range(n - 1):
+            v0 = float(luts[c, k])
+            v1 = float(luts[c, k + 1])
+            seg = v0 + frc * (v1 - v0)
+            term = jnp.where(i0 == float(k), seg, 0.0)
+            acc = term if acc is None else acc + term
+        acc = acc + jnp.where(i0 == float(n - 1), float(luts[c, n - 1]), 0.0)
+        vals.append(acc)
+    return vals
+
+
+def _kernel_a(T_ref, R_ref, logL_ref, mpre_ref, diff_ref, *, luts, x0, scale,
+              gains):
+    logS = _lut_eval(logL_ref[0], luts, x0, scale)
+    for c in range(luts.shape[0]):
+        S = (10.0 ** logS[c]) * float(gains[c])
+        T_p = T_ref[c] * S
+        R_p = R_ref[c] * S
+        mpre_ref[c] = jnp.minimum(jnp.abs(T_p), jnp.abs(R_p))
+        diff_ref[c] = jnp.abs(T_p - R_p)
+
+
+def _kernel_b(m_ref, diff_ref, d_ref, *, qs, p, xcm, max_v):
+    C = xcm.shape[0]
+    mq = []
+    for c in range(C):
+        q = float(qs[c])
+        mq.append((jnp.abs(m_ref[c]) + _EPS) ** q - _EPS**q)
+    for d in range(C):
+        mix = None
+        for c in range(C):
+            term = float(xcm[c, d]) * mq[c]
+            mix = term if mix is None else mix + term
+        du = ((diff_ref[d] + _EPS) ** float(p) - _EPS ** float(p)) / (1.0 + mix)
+        d_ref[d] = max_v * du / (max_v + du)
+
+
+def _grid_specs(C, L, H, W, n_buffers):
+    """Tile (H, W) so that n_buffers double-buffered (C,1,th,tw) fp32 blocks
+    stay within ~8 MB of VMEM."""
+    budget = 8 * 1024 * 1024 // (2 * n_buffers * (C + 1) * 4)
+    tw = W if W <= 1024 else 1024
+    th = max(8, min(H, budget // tw) // 8 * 8)
+    grid = (L, -(-H // th), -(-W // tw))
+
+    def im4(l, i, j):
+        return (0, l, i, j)
+
+    def im3(l, i, j):
+        return (l, i, j)
+
+    b4 = lambda: pl.BlockSpec((C, 1, th, tw), im4, memory_space=pltpu.VMEM)  # noqa: E731
+    b3 = lambda: pl.BlockSpec((1, th, tw), im3, memory_space=pltpu.VMEM)  # noqa: E731
+    return grid, b4, b3
+
+
+def fused_csf_contrast(T, R, logL, luts: np.ndarray, x0: float, x1: float,
+                       gains) -> tuple:
+    """Kernel A over (C, L, H, W) tensors; logL is (L, H, W).
+    Returns (M_pre, diff)."""
+    C, L, H, W = T.shape
+    n = luts.shape[1]
+    scale = float((n - 1) / (x1 - x0))
+    grid, b4, b3 = _grid_specs(C, L, H, W, n_buffers=5)
+    kern = functools.partial(_kernel_a, luts=luts, x0=float(x0), scale=scale,
+                             gains=tuple(float(g) for g in gains))
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[b4(), b4(), b3()],
+        out_specs=(b4(), b4()),
+        out_shape=(
+            jax.ShapeDtypeStruct((C, L, H, W), jnp.float32),
+            jax.ShapeDtypeStruct((C, L, H, W), jnp.float32),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(T, R, logL)
+
+
+def fused_masking_transducer(M, diff, qs, p: float, xcm: np.ndarray,
+                             max_v: float):
+    """Kernel B over (C, L, H, W) tensors. Returns D."""
+    C, L, H, W = M.shape
+    grid, b4, _ = _grid_specs(C, L, H, W, n_buffers=3)
+    kern = functools.partial(
+        _kernel_b, qs=tuple(float(q) for q in qs), p=float(p),
+        xcm=np.asarray(xcm, np.float32), max_v=float(max_v),
+    )
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[b4(), b4()],
+        out_specs=b4(),
+        out_shape=jax.ShapeDtypeStruct((C, L, H, W), jnp.float32),
+        interpret=jax.default_backend() != "tpu",
+    )(M, diff)
+
+
+_FUSED_CACHE: dict = {}
+
+
+def make_fused_mult_mutual(luts: np.ndarray, x0: float, x1: float, gains,
+                           sens_corr: float, params, blur_fn):
+    """Build the fused mult-mutual band function with a recompute-based VJP.
+
+    Returns fn(T, R, logL) -> D where all tensors are (B, C, F, H, W) /
+    (B, 1, F, H, W). ``blur_fn`` is the phase-uncertainty blur (with the
+    10^mask_c scale) applied between the kernels; ``params`` is the
+    MaskingParams for the jnp fallback used in the backward pass.
+    """
+    luts = np.asarray(luts, np.float32)
+    # Fold the sensitivity correction into the per-channel gains.
+    g = tuple(float(gv) * float(sens_corr) for gv in gains)
+    C = luts.shape[0]
+    qs = np.asarray(params.mask_q, np.float32)[:C]
+    xcm = np.power(2.0, np.asarray(params.xcm_weights,
+                                   np.float32)).reshape(4, 4)[:C, :C]
+    max_v = 10.0 ** float(params.d_max)
+
+    def jnp_impl(T, R, logL):
+        # Reference-equivalent jnp path (used for the backward pass).
+        from .. import masking as mk
+        from .csf_lut import csf_lut_lookup
+
+        S = csf_lut_lookup(logL[:, 0], luts, x0, x1)  # (C, B, F, H, W)
+        S = jnp.moveaxis(S, 0, 1) * float(sens_corr)
+        return mk.apply_masking_model(T, R, S, params)
+
+    def fwd_impl(T, R, logL):
+        B, Cc, F, H, W = T.shape
+        T4 = jnp.transpose(T, (1, 0, 2, 3, 4)).reshape(Cc, B * F, H, W)
+        R4 = jnp.transpose(R, (1, 0, 2, 3, 4)).reshape(Cc, B * F, H, W)
+        L3 = logL.reshape(B * F, H, W)
+        m_pre, diff = fused_csf_contrast(T4, R4, L3, luts, x0, x1, g)
+        m5 = m_pre.reshape(Cc, B, F, H, W).transpose(1, 0, 2, 3, 4)
+        m_blur = blur_fn(m5)
+        m4 = jnp.transpose(m_blur, (1, 0, 2, 3, 4)).reshape(Cc, B * F, H, W)
+        D = fused_masking_transducer(m4, diff, qs, params.mask_p, xcm, max_v)
+        return D.reshape(Cc, B, F, H, W).transpose(1, 0, 2, 3, 4)
+
+    @jax.custom_vjp
+    def fused(T, R, logL):
+        return fwd_impl(T, R, logL)
+
+    def fused_fwd(T, R, logL):
+        return fwd_impl(T, R, logL), (T, R, logL)
+
+    def fused_bwd(res, gout):
+        T, R, logL = res
+        _, vjp = jax.vjp(jnp_impl, T, R, logL)
+        return vjp(gout)
+
+    fused.defvjp(fused_fwd, fused_bwd)
+    return fused
