@@ -147,6 +147,10 @@ class cvvdp(vq_metric):
             np.asarray(p["block_channels"], bool) if "block_channels" in p else None
         )
         self.debug = False
+        # Fused Pallas masking kernels (single-chip fast path). Multi-chip
+        # programs shard with GSPMD, which cannot partition custom calls —
+        # parallel.sharding disables this flag on the metric it wraps.
+        self.enable_fused_kernels = True
         self.lpyr = None
         self._block_fns = {}
 
@@ -444,7 +448,9 @@ class cvvdp(vq_metric):
             mem_avail = min(self.gpu_mem * 1e9, mem_avail)
         a = 0.6e9
         b = 24  # two fp32 3-channel sliding-window buffers
-        c = 320 if not self.training_mode else 800
+        # Working-set coefficient measured for the fused pipeline (the
+        # reference's torch value was 320; XLA's buffer reuse is tighter).
+        c = 160 if not self.training_mode else 800
         max_frames = int(
             math.floor(
                 (mem_avail - a - pix_cnt * (self.filter_len - 1) * b)
@@ -706,7 +712,8 @@ class cvvdp(vq_metric):
         # The calibrated default configuration runs through the fused Pallas
         # masking kernels (CSF + contrast coding + mutual masking transducer).
         can_fuse = (
-            self.masking_model == "mult-mutual"
+            getattr(self, "enable_fused_kernels", True)
+            and self.masking_model == "mult-mutual"
             and self.do_xchannel_masking
             and self.dclamp_type == "soft"
             and np.asarray(self.d_max).size == 1

@@ -53,6 +53,9 @@ def shard_scoring_fn(metric, vid_source, met_colorspace, raw_shape, dtype,
     ``image_pair_sharding``.
     """
     dm = vid_source.dm_photometry
+    # GSPMD cannot partition Pallas custom calls; use the pure-XLA path so
+    # the pyramid halos / pooling psums shard cleanly.
+    metric.enable_fused_kernels = False
 
     def fn(raw_t, raw_r):
         # Inputs arrive shaped (B, F, C, H, W); reshape(shape) is a no-op that
