@@ -189,6 +189,41 @@ class cvvdp(vq_metric):
         )
         return 10.0 - Q_jod
 
+    def get_loss_fn(self, height, width, colorspace="sRGB", remat=True):
+        """Return a pure, jit/grad-able loss over display-encoded BCFHW
+        fp32 image pairs: fn(test, ref) -> mean(10 - JOD).
+
+        The JAX replacement for the reference's autograd ``loss`` mode
+        (reference: cvvdp_metric.py:294-298): compose with ``jax.grad`` /
+        ``jax.jit`` and optimisers. ``remat`` wraps the per-block compute in
+        ``jax.checkpoint`` to trade FLOPs for memory during training.
+        """
+        from ..display import vvdp_display_photo_eotf
+
+        self._ensure_pyramids(width, height)
+        dm = self.display_photometry
+        met_colorspace = (
+            "logLMS_DKLd65" if self.contrast == "log" else "DKLd65"
+        )
+
+        def block(test, ref):
+            T = dm.source_2_target_colorspace(test, met_colorspace)
+            R = dm.source_2_target_colorspace(ref, met_colorspace)
+            B, C, F, H, W = T.shape
+            Rfull = jnp.stack([T, R], axis=2).reshape(B, 2 * C, F, H, W)
+            Q_per_ch, _, _ = self._process_block(Rfull, temp_ch=1,
+                                                 is_image=True)
+            return Q_per_ch
+
+        blk = jax.checkpoint(block) if remat else block
+
+        def loss_fn(test, ref):
+            Q_per_ch = blk(test, ref)
+            Q_jod = self.do_pooling_and_jods(Q_per_ch)
+            return jnp.mean(10.0 - Q_jod)
+
+        return loss_fn
+
     def predict_video_source(self, vid_source):
         """Score a video source; returns (Q_jod, stats)."""
         h, w, N_frames = vid_source.get_video_size()

@@ -109,3 +109,32 @@ def test_batch_of_images(wavy):
     assert Q.shape == (2,)
     assert Q[0] > 9.9  # identical pair -> ~10 JOD
     assert Q[1] < Q[0]
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("RUN_SLOW"),
+    reason="grad-graph compile takes ~7 min on this single-core host; "
+    "gradient correctness is covered by test_sharding's dryrun",
+)
+def test_loss_fn_gradients(wavy):
+    """Public differentiable loss: finite gradients that point from a noisy
+    image toward the reference."""
+    import jax
+    import jax.numpy as jnp
+
+    crop = wavy[:64, :96].astype(np.float32) / 255.0
+    ref = crop.transpose(2, 0, 1)[None, :, None]
+    rng = np.random.RandomState(0)
+    test = np.clip(ref + rng.randn(*ref.shape).astype(np.float32) * 0.1,
+                   0, 1)
+
+    m = cv.cvvdp(display_name="standard_4k", quiet=True)
+    loss_fn = m.get_loss_fn(64, 96)
+    val, g = jax.value_and_grad(loss_fn)(jnp.asarray(test),
+                                         jnp.asarray(ref))
+    assert np.isfinite(float(val)) and float(val) > 0
+    g = np.asarray(g)
+    assert np.all(np.isfinite(g)) and np.abs(g).max() > 0
+    # One gradient step should reduce the loss.
+    val2 = loss_fn(jnp.asarray(test) - 1e-2 * jnp.sign(g), jnp.asarray(ref))
+    assert float(val2) < float(val)
