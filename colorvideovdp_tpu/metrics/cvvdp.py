@@ -748,6 +748,7 @@ class cvvdp(vq_metric):
         # masking kernels (CSF + contrast coding + mutual masking transducer).
         can_fuse = (
             getattr(self, "enable_fused_kernels", True)
+            and jax.default_backend() == "tpu"
             and self.masking_model == "mult-mutual"
             and self.do_xchannel_masking
             and self.dclamp_type == "soft"

@@ -174,15 +174,35 @@ def _make_lookup(luts_key, luts, x0, x1):
     return lookup
 
 
+def _jnp_lookup(logL, luts: np.ndarray, x0: float, x1: float):
+    """Pure-jnp hat-basis evaluation (CPU fallback: exact same math, no
+    Pallas; natively differentiable)."""
+    C, n = luts.shape
+    scale = (n - 1) / (x1 - x0)
+    ind = jnp.clip((logL - x0) * scale, 0.0, float(n - 1))
+    outs = []
+    for c in range(C):
+        acc = None
+        for k in range(n):
+            w = jnp.maximum(0.0, 1.0 - jnp.abs(ind - float(k)))
+            term = float(luts[c, k]) * w
+            acc = term if acc is None else acc + term
+        outs.append(10.0**acc)
+    return jnp.stack(outs)
+
+
 def csf_lut_lookup(logL, luts: np.ndarray, x0: float, x1: float):
     """Evaluate ``10**interp1q(logL)`` for each channel.
 
     logL: traced array, any shape. luts: static numpy (C, n) table of log10
     sensitivities sampled uniformly over [x0, x1]. Returns (C, *logL.shape).
-    Differentiable w.r.t. logL (custom VJP, analytic derivative).
+    Differentiable w.r.t. logL (custom VJP with an analytic derivative on
+    TPU; natively differentiable jnp elsewhere).
     """
     luts = np.asarray(luts, np.float32)
-    key = (luts.tobytes(), float(x0), float(x1), jax.default_backend())
+    if jax.default_backend() != "tpu":
+        return _jnp_lookup(logL, luts, float(x0), float(x1))
+    key = (luts.tobytes(), float(x0), float(x1))
     if key not in _FN_CACHE:
         _FN_CACHE[key] = _make_lookup(key, luts, float(x0), float(x1))
     return _FN_CACHE[key](logL)

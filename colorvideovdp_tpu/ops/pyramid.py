@@ -1,9 +1,11 @@
 """Decimated Laplacian / Weber-contrast pyramids for TPU.
 
 Reimplements the reference pyramid (reference: pycvvdp/lpyr_dec.py) as pure
-jnp functions with static shapes. The 5-tap separable convolutions are
-expressed as strided slices + weighted sums, which XLA fuses into single
-VPU passes (no im2col, no MXU needed for a 5-tap kernel).
+jnp functions with static shapes. Lowering choices are measurement-driven
+(see memory/STATUS.md): the stride-2 reduce maps to XLA's conv emitter at
+HIGHEST precision (beats manual lane-strided slicing ~5x), while expand and
+all boundary corrections are shifted multiply-adds along each native axis
+(no transposes; lhs-dilated convs lower poorly).
 
 Parity notes (all verified against the reference):
 

@@ -8,7 +8,10 @@ Must run before the first jax import.
 import os
 import sys
 
+# NOTE: this environment's TPU plugin ignores JAX_PLATFORMS; the legacy
+# JAX_PLATFORM_NAME is what actually forces the CPU backend here.
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
