@@ -83,6 +83,9 @@ def get_args():
                         choices=["latest", "best-rmse", "best-pearson",
                                  "best-spearman"],
                         default="latest")
+    parser.add_argument("--log-dir", default=None,
+                        help="write tensorboard (or CSV fallback) training "
+                        "curves to this directory")
     args = parser.parse_args()
     num_skip = read_args_from_file(args)
     args = parser.parse_args()
@@ -90,6 +93,37 @@ def get_args():
     level = logging.DEBUG if args.verbose else logging.INFO
     logging.basicConfig(format="[%(levelname)s] %(message)s", level=level)
     return args, quality_table
+
+
+class TrainLogger:
+    """Tensorboard training curves (reference: train.py:96,120-122), with a
+    plain-CSV fallback when tensorboard is unavailable."""
+
+    def __init__(self, log_dir):
+        self.writer = None
+        self.csv = None
+        if log_dir is None:
+            return
+        os.makedirs(log_dir, exist_ok=True)
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            self.writer = SummaryWriter(log_dir=log_dir)
+        except Exception:
+            self.csv = open(os.path.join(log_dir, "training_log.csv"), "w")
+            self.csv.write("step,tag,value\n")
+
+    def add_scalar(self, tag, value, step):
+        if self.writer is not None:
+            self.writer.add_scalar(tag, value, step)
+        elif self.csv is not None:
+            self.csv.write(f"{step},{tag},{value}\n")
+
+    def close(self):
+        if self.writer is not None:
+            self.writer.close()
+        if self.csv is not None:
+            self.csv.close()
 
 
 def evaluate(params, dataset, pool_kwargs):
@@ -153,6 +187,7 @@ def main():
 
     best = {"rmse": np.inf, "pearson": -np.inf, "spearman": -np.inf}
     best_params = params
+    tlog = TrainLogger(args.log_dir)
 
     for epoch in range(args.num_epochs):
         epoch_loss = 0.0
@@ -175,12 +210,16 @@ def main():
             params = optax.apply_updates(params, updates)
 
         logging.info(f"epoch {epoch}: train MSE {epoch_loss / max(n, 1):.4f}")
+        tlog.add_scalar("Loss/train", epoch_loss / max(n, 1), epoch)
 
         if (epoch + 1) % args.val_epoch == 0 and len(val_ds) > 0:
             rmse, plcc, srcc = evaluate(params, val_ds, pool_kwargs)
             logging.info(
                 f"  val: RMSE {rmse:.4f} PLCC {plcc:.4f} SRCC {srcc:.4f}"
             )
+            tlog.add_scalar("RMSE/test", rmse, epoch)
+            tlog.add_scalar("PLCC/test", plcc, epoch)
+            tlog.add_scalar("SRCC/test", srcc, epoch)
             improved = (
                 (args.save == "best-rmse" and rmse < best["rmse"])
                 or (args.save == "best-pearson" and plcc > best["pearson"])
@@ -192,6 +231,7 @@ def main():
             if improved:
                 best_params = params
 
+    tlog.close()
     final = params if args.save == "latest" else best_params
     # Push the fitted values back onto the metric and serialise.
     metric.ch_chrom_w = float(np.asarray(final["ch_chrom_w"]))

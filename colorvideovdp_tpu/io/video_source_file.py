@@ -201,9 +201,16 @@ class video_source_video_file(video_source_dm):
                 f"{min(t.frames, r.frames)} frames."
             )
         self.N_frames = min(t.frames, r.frames)
-        if getattr(self.dm_photometry, "EOTF", None) == "PQ" and self.verbose:
+        if getattr(self.dm_photometry, "EOTF", None) == "PQ":
+            # Decode honesty (reference decodes 10/12-bit via rawvideo
+            # rgb48le, video_source_file.py:127-149; this image's only
+            # decoder is OpenCV, which returns uint8). Scoring PQ content
+            # through an 8-bit decode silently quantizes HDR — always warn.
             logging.warning(
-                "Comparing display-encoded content with a PQ display model"
+                "PQ display model with mp4 input: this build decodes mp4 at "
+                "8 bits/channel (OpenCV); >8-bit HDR content will be "
+                "quantized. For full-precision HDR use raw .yuv (10-bit "
+                "supported) or EXR frame sequences."
             )
         self._initialized = True
 
@@ -224,8 +231,10 @@ class video_source_video_file(video_source_dm):
         reference's pipe reader)."""
         self._init_readers()
         rd = self.reader[which]
-        if start < rd.curr_frame + 1 - 1:
-            # Requested earlier frames: rewind (reference raises; we recover).
+        if start <= rd.curr_frame:
+            # Requested an already-returned frame (curr_frame is the index of
+            # the LAST frame handed out, so start == curr_frame is a re-read,
+            # not the next frame): rewind (reference raises; we recover).
             rd.seek_to_start()
         block = np.empty((1, count, 3, rd.height, rd.width), np.uint8)
         last = None

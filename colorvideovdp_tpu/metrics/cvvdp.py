@@ -51,6 +51,8 @@ class cvvdp(vq_metric):
         use_checkpoints=False,
         dump_channels=None,
         gpu_mem=None,
+        temp_resample=False,
+        nominal_fps=240,
     ):
         config_paths = config_paths or []
         self.quiet = quiet
@@ -72,8 +74,10 @@ class cvvdp(vq_metric):
             config_paths=config_paths,
         )
 
-        self.temp_resample = False
-        self.nominal_fps = 240
+        # Feature-space resampling of Q_per_ch to a nominal frame rate
+        # (reference: cvvdp_metric.py:132-133,403-409).
+        self.temp_resample = temp_resample
+        self.nominal_fps = nominal_fps
 
         self.load_config(config_paths)
         self.dump_channels = dump_channels
@@ -401,6 +405,18 @@ class cvvdp(vq_metric):
                 )
                 self.dump_channels.dump_diff()
 
+            if self.debug:
+                # Numeric sanitizer (reference asserts after masking,
+                # cvvdp_metric.py:906-907; here the per-band pooled values
+                # are checked — any NaN/Inf in the masked D propagates into
+                # them, and they are small enough to read back cheaply).
+                qb = np.asarray(Q_per_ch_block)
+                if not np.all(np.isfinite(qb)):
+                    raise RuntimeError(
+                        f"Non-finite Q_per_ch in block at frame {ff} "
+                        "(masking produced NaN/Inf)"
+                    )
+
             Q_blocks.append(Q_per_ch_block)
 
             if self.do_heatmap:
@@ -422,13 +438,22 @@ class cvvdp(vq_metric):
 
         fps = vid_source.get_frames_per_second()
         if self.temp_resample:
+            # NOTE: the reference's equivalent (cvvdp_metric.py:403-409) is
+            # dead code with a latent layout bug — interp1dim2 resamples
+            # axis 1, which was the frame axis before the batch dimension was
+            # added (v0.5.3) but is the CHANNEL axis of today's
+            # (B, C, F, bands) Q_per_ch; enabling it upstream trips
+            # interp.py's shape assert. We implement the intent: linear
+            # resampling of the FRAME axis to nominal_fps.
             from ..ops.interp import interp1dim2
 
             t_end = N_frames / fps
             t_org = jnp.linspace(0.0, t_end, N_frames)
             N_res = math.ceil(t_end * self.nominal_fps)
             t_res = jnp.linspace(0.0, N_res / self.nominal_fps, N_res)
-            Q_per_ch = interp1dim2(t_org, Q_per_ch, t_res)
+            Q_per_ch = jnp.moveaxis(
+                interp1dim2(t_org, jnp.moveaxis(Q_per_ch, 2, 1), t_res), 1, 2
+            )
             N_frames = N_res
             fps = self.nominal_fps
 
@@ -726,6 +751,26 @@ class cvvdp(vq_metric):
 
         self._block_fns[key] = jfn
         return jfn
+
+    def report_memory_analysis(self, jitted_fn, *example_args):
+        """Log compiled per-stage HBM use for a jitted step (the TPU
+        equivalent of the reference's --debug cuda.max_memory_allocated
+        report, cvvdp_metric.py:432-439)."""
+        try:
+            ma = jitted_fn.lower(*example_args).compile().memory_analysis()
+            logging.info(
+                "HBM analysis: args %.1f MB, outputs %.1f MB, temps %.1f MB,"
+                " total %.1f MB",
+                ma.argument_size_in_bytes / 2**20,
+                ma.output_size_in_bytes / 2**20,
+                ma.temp_size_in_bytes / 2**20,
+                (ma.argument_size_in_bytes + ma.output_size_in_bytes
+                 + ma.temp_size_in_bytes) / 2**20,
+            )
+            return ma
+        except Exception as e:  # backend may not expose the analysis
+            logging.debug(f"memory_analysis unavailable: {e}")
+            return None
 
     def _process_block(self, R, temp_ch, is_image):
         """Pyramid -> CSF -> masking -> spatial pooling for one frame block

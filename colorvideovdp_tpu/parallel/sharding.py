@@ -53,23 +53,36 @@ def shard_scoring_fn(metric, vid_source, met_colorspace, raw_shape, dtype,
     ``image_pair_sharding``.
     """
     dm = vid_source.dm_photometry
-    # GSPMD cannot partition Pallas custom calls; use the pure-XLA path so
-    # the pyramid halos / pooling psums shard cleanly.
-    metric.enable_fused_kernels = False
 
     def fn(raw_t, raw_r):
-        # Inputs arrive shaped (B, F, C, H, W); reshape(shape) is a no-op that
-        # keeps the named sharding intact.
-        T = metric._flat_to_met(dm, raw_t, raw_shape, met_colorspace,
-                                vid_source)
-        R = metric._flat_to_met(dm, raw_r, raw_shape, met_colorspace,
-                                vid_source)
-        import jax.numpy as jnp
+        # GSPMD cannot partition Pallas custom calls; trace the pure-XLA path
+        # so the pyramid halos / pooling psums shard cleanly. The flag is
+        # restored after tracing — sharded use must not disable the fused
+        # kernels for later single-chip scoring on the same metric object.
+        saved = getattr(metric, "enable_fused_kernels", True)
+        metric.enable_fused_kernels = False
+        try:
+            # Inputs arrive shaped (B, F, C, H, W); reshape(shape) is a no-op
+            # that keeps the named sharding intact.
+            T = metric._flat_to_met(dm, raw_t, raw_shape, met_colorspace,
+                                    vid_source)
+            R = metric._flat_to_met(dm, raw_r, raw_shape, met_colorspace,
+                                    vid_source)
+            import jax.numpy as jnp
 
-        B, C, F, H, W = T.shape
-        Rfull = jnp.stack([T, R], axis=2).reshape(B, 2 * C, F, H, W)
-        Q, hm, dump = metric._process_block(Rfull, temp_ch=1, is_image=True)
-        return Q, hm
+            # Concatenate T/R along the channel axis (no interleave
+            # stack+reshape here: GSPMD handles concat on an unsharded axis
+            # without resharding the 'space'-sharded H) and interleave with a
+            # cheap gather on the tiny channel axis instead.
+            B, C, F, H, W = T.shape
+            TR = jnp.concatenate([T, R], axis=1)  # (B, 2C, F, H, W)
+            idx = jnp.arange(2 * C) // 2 + (jnp.arange(2 * C) % 2) * C
+            Rfull = jnp.take(TR, idx, axis=1)
+            Q, hm, dump = metric._process_block(Rfull, temp_ch=1,
+                                                is_image=True)
+            return Q, hm
+        finally:
+            metric.enable_fused_kernels = saved
 
     in_sh = image_pair_sharding(mesh)
     out_sh = replicated(mesh)

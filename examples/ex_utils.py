@@ -18,6 +18,23 @@ def imnoise(clean, std, static=False, peak=None):
     return (noisy.clip(0, 1) * peak).astype(dtype)
 
 
+# BT.709 full-range RGB <-> YCbCr (standard matrix constants).
+_RGB2YCBCR = np.array(
+    [[0.2126, 0.7152, 0.0722],
+     [-0.114572, -0.385428, 0.5],
+     [0.5, -0.454153, -0.045847]], np.float32)
+_YCBCR2RGB = np.linalg.inv(_RGB2YCBCR).astype(np.float32)
+
+
+def srgb2ycbcr(rgb):
+    """(H, W, 3) sRGB -> full-range BT.709 YCbCr."""
+    return rgb.astype(np.float32) @ _RGB2YCBCR.T
+
+
+def ycbcr2srgb(yuv):
+    return yuv.astype(np.float32) @ _YCBCR2RGB.T
+
+
 def imgaussblur(clean, sigmas):
     """Per-frame separable Gaussian blur (scipy, mode='nearest')."""
     if clean.ndim == 3:

@@ -100,6 +100,25 @@ def test_video_source_file_mp4():
     assert blk.shape == (1, 4, 3, 720, 1280) and blk.dtype == np.uint8
 
 
+def test_video_source_mp4_reread_same_block():
+    """Re-requesting already-returned frames must rewind, not silently hand
+    out the NEXT frame (latent off-by-one in the sequential-read guard:
+    start == curr_frame is a re-read)."""
+    from colorvideovdp_tpu.io.video_source_file import video_source_file
+
+    vs = video_source_file(
+        "/root/reference/example_media/aliasing/ferris-ref.mp4",
+        "/root/reference/example_media/aliasing/ferris-ref.mp4",
+        display_photometry="standard_fhd",
+    )
+    vs.get_video_size()
+    a = vs.get_raw_block("test", 5, 3).copy()
+    b = vs.get_raw_block("test", 5, 3)  # exact re-read
+    np.testing.assert_array_equal(a, b)
+    c = vs.get_raw_block("test", 7, 2)  # overlaps the last frame returned
+    np.testing.assert_array_equal(a[0, 2], c[0, 0])
+
+
 def test_image_source_and_mat(tmp_path):
     from scipy.io import savemat
 

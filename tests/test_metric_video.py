@@ -83,6 +83,51 @@ def test_symmetric_padding_matches_oracle(reference, wavy):
     assert abs(float(Q) - float(Q_ref)) < 2e-3
 
 
+def test_temp_resample_matches_oracle(reference, wavy):
+    """Feature-space resampling of Q_per_ch to nominal_fps.
+
+    The reference's own temp_resample branch (cvvdp_metric.py:403-409) is
+    dead code with a latent layout bug (interp1dim2 resamples the channel
+    axis of the post-v0.5.3 (B,C,F,bands) layout and trips interp.py's shape
+    assert), so the oracle here is the reference's interp1dim2 +
+    do_pooling_and_jods applied to the frame axis explicitly — the intended
+    semantics."""
+    import torch
+
+    crop = wavy[100:148, 200:280]  # 48x80
+    N, fps = 10, 30
+    V_ref = np.repeat(crop[..., np.newaxis], N, axis=3)
+    rng = np.random.RandomState(9)
+    V_test = ((V_ref.astype(np.float32) / 255
+               + rng.randn(*V_ref.shape) * 0.05).clip(0, 1) * 255
+              ).astype(np.uint8)
+
+    m = cv.cvvdp(display_name="standard_4k", quiet=True,
+                 temp_resample=True, nominal_fps=60)
+    Q, stats = m.predict(V_test, V_ref, dim_order="HWCF",
+                         frames_per_second=fps)
+    # 10 frames at 30 fps resampled to 60 fps nominal = 20 feature frames.
+    assert stats["N_frames"] == 20
+    assert stats["frames_per_second"] == 60
+
+    from pycvvdp.interp import interp1dim2
+
+    ref_m = reference.cvvdp(display_name="standard_4k", quiet=True,
+                            device=torch.device("cpu"))
+    with torch.no_grad():
+        _, stats_ref = ref_m.predict(V_test, V_ref, dim_order="HWCF",
+                                     frames_per_second=fps)
+        qpc = torch.tensor(stats_ref["Q_per_ch"])  # (B, C, F, bands)
+        t_end = N / fps
+        t_org = torch.linspace(0.0, t_end, N)
+        N_res = int(np.ceil(t_end * 60))
+        t_res = torch.linspace(0.0, N_res / 60, N_res)
+        qpc_res = interp1dim2(t_org, qpc.permute(0, 2, 1, 3),
+                              t_res).permute(0, 2, 1, 3)
+        Q_ref = ref_m.do_pooling_and_jods(qpc_res)
+    assert abs(float(Q) - float(Q_ref)) < 2e-3
+
+
 def test_blockwise_equals_whole_clip(wavy):
     """Streaming in small blocks must give the same answer as one big block
     (the temporal halo carry)."""

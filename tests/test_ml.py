@@ -130,3 +130,128 @@ def test_ml_transformer_random_init_smoke():
                                 random_init=True)
     Q, stats = m.predict(wavy, wavy, dim_order="HWC")
     assert np.isfinite(float(Q))
+
+
+# ---------------------------------------------------------------------------
+# End-to-end goldens with REAL (non-random) weights: a Lightning-style
+# state_dict is synthesized locally, loaded into the *reference* ML metric
+# (torch-CPU oracle, hub download monkeypatched away), converted with
+# tools/convert_ml_ckpt.py, and the full-pipeline JOD must match
+# (reference: cvvdp_ml_metric.py:156-172,463-681).
+
+
+@pytest.fixture(scope="module")
+def ml_pair():
+    from PIL import Image
+    from scipy.ndimage import gaussian_filter
+
+    wavy = np.asarray(
+        Image.open("/root/reference/example_media/wavy_facade.png")
+    )
+    ref = wavy[100:196, 200:328]
+    test = np.zeros_like(wavy)
+    for cc in range(3):
+        test[:, :, cc] = gaussian_filter(wavy[:, :, cc], 2.0, mode="nearest",
+                                         truncate=2.0)
+    return test[100:196, 200:328], ref
+
+
+def _mint_ckpt(tmp_path, nets):
+    """Write a Lightning-style cvvdp.ckpt holding the given {name: module}
+    nets and convert it to cvvdp_ml.npz in the same dir."""
+    import torch
+
+    from convert_ml_ckpt import convert
+
+    sd = {}
+    for name, net in nets.items():
+        for k, v in net.state_dict().items():
+            sd[f"{name}.{k}"] = v
+    ckpt = str(tmp_path / "cvvdp.ckpt")
+    torch.save({"state_dict": sd}, ckpt)
+    convert(ckpt, str(tmp_path / "cvvdp_ml.npz"))
+    return ckpt
+
+
+def test_ml_transformer_end_to_end_matches_oracle(reference, ml_pair,
+                                                  tmp_path, monkeypatch):
+    import torch
+
+    import pycvvdp.cvvdp_ml_metric as refml
+
+    test, ref = ml_pair
+    torch.manual_seed(42)
+    net = refml.RegressionTransformer(in_channels=24, dim=256)
+    ckpt = _mint_ckpt(tmp_path, {"transformer_net": net})
+    monkeypatch.setattr(refml, "hf_hub_download", lambda **kw: ckpt)
+
+    ref_m = refml.cvvdp_ml_transformer(
+        display_name="standard_4k", quiet=True, device=torch.device("cpu"))
+    with torch.no_grad():
+        Q_ref, _ = ref_m.predict(test, ref, dim_order="HWC")
+
+    m = ml.cvvdp_ml_transformer(display_name="standard_4k", quiet=True,
+                                config_paths=[str(tmp_path)])
+    Q, _ = m.predict(test, ref, dim_order="HWC")
+    assert abs(float(Q) - float(Q_ref)) < 5e-3, (float(Q), float(Q_ref))
+
+
+def test_ml_saliency_end_to_end_matches_oracle(reference, ml_pair, tmp_path,
+                                               monkeypatch):
+    import torch
+    from torchvision.ops import MLP
+
+    import pycvvdp.cvvdp_ml_metric as refml
+
+    test, ref = ml_pair
+    torch.manual_seed(7)
+    feature_net = MLP(in_channels=8, hidden_channels=[24] * 3 + [1],
+                      activation_layer=torch.nn.ReLU, dropout=0.2)
+    att_net = MLP(in_channels=16, hidden_channels=[48] * 4 + [1],
+                  activation_layer=torch.nn.ReLU, dropout=0.2)
+    ckpt = _mint_ckpt(tmp_path, {"feature_net": feature_net,
+                                 "att_net": att_net})
+    monkeypatch.setattr(refml, "hf_hub_download", lambda **kw: ckpt)
+
+    ref_m = refml.cvvdp_ml_saliency(
+        display_name="standard_4k", quiet=True, device=torch.device("cpu"))
+    with torch.no_grad():
+        Q_ref, _ = ref_m.predict(test, ref, dim_order="HWC")
+
+    m = ml.cvvdp_ml_saliency(display_name="standard_4k", quiet=True,
+                             config_paths=[str(tmp_path)])
+    Q, _ = m.predict(test, ref, dim_order="HWC")
+    assert abs(float(Q) - float(Q_ref)) < 5e-3, (float(Q), float(Q_ref))
+
+
+def test_ml_transformer_video_end_to_end_matches_oracle(reference, ml_pair,
+                                                        tmp_path,
+                                                        monkeypatch):
+    """Video trunk (4 temporal channels) through the transformer head."""
+    import torch
+
+    import pycvvdp.cvvdp_ml_metric as refml
+
+    _, ref = ml_pair
+    N, fps = 6, 30
+    V_ref = np.repeat(ref[:48, :80][..., np.newaxis], N, axis=3)
+    rng = np.random.RandomState(5)
+    V_test = ((V_ref.astype(np.float32) / 255
+               + rng.randn(*V_ref.shape) * 0.05).clip(0, 1) * 255
+              ).astype(np.uint8)
+
+    torch.manual_seed(42)
+    net = refml.RegressionTransformer(in_channels=24, dim=256)
+    ckpt = _mint_ckpt(tmp_path, {"transformer_net": net})
+    monkeypatch.setattr(refml, "hf_hub_download", lambda **kw: ckpt)
+
+    ref_m = refml.cvvdp_ml_transformer(
+        display_name="standard_4k", quiet=True, device=torch.device("cpu"))
+    with torch.no_grad():
+        Q_ref, _ = ref_m.predict(V_test, V_ref, dim_order="HWCF",
+                                 frames_per_second=fps)
+
+    m = ml.cvvdp_ml_transformer(display_name="standard_4k", quiet=True,
+                                config_paths=[str(tmp_path)])
+    Q, _ = m.predict(V_test, V_ref, dim_order="HWCF", frames_per_second=fps)
+    assert abs(float(Q) - float(Q_ref)) < 5e-3, (float(Q), float(Q_ref))

@@ -1,0 +1,106 @@
+"""Visualisation surfaces: heatmap pixel-wise parity vs the reference oracle,
+distogram export, dump-channels (reference: pycvvdp/visualize_diff_map.py,
+cvvdp_metric.py:1158-1221, dump_channels.py)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import colorvideovdp_tpu as cv
+
+
+@pytest.fixture(scope="module")
+def crop_pair():
+    from PIL import Image
+    from scipy.ndimage import gaussian_filter
+
+    wavy = np.asarray(
+        Image.open("/root/reference/example_media/wavy_facade.png")
+    )
+    ref = wavy[100:196, 200:328]
+    test = np.zeros_like(wavy)
+    for cc in range(3):
+        test[:, :, cc] = gaussian_filter(wavy[:, :, cc], 2.0, mode="nearest",
+                                         truncate=2.0)
+    return test[100:196, 200:328], ref
+
+
+def test_heatmap_matches_oracle(reference, crop_pair):
+    """The claimed heatmap parity (STATUS round 1: max pixel delta 0.00098)
+    encoded as a regression test: supra-threshold colour-mapped heatmap vs
+    the reference, both fp16-stored."""
+    import torch
+
+    test, ref = crop_pair
+    m = cv.cvvdp(display_name="standard_4k", heatmap="supra-threshold")
+    Q, stats = m.predict(test, ref, dim_order="HWC")
+    hm = np.asarray(stats["heatmap"], np.float32)
+
+    ref_m = reference.cvvdp(display_name="standard_4k", quiet=True,
+                            heatmap="supra-threshold",
+                            device=torch.device("cpu"))
+    with torch.no_grad():
+        Q_ref, stats_ref = ref_m.predict(test, ref, dim_order="HWC")
+    hm_ref = stats_ref["heatmap"].to(torch.float32).numpy()
+
+    assert hm.shape == hm_ref.shape == (1, 3, 1) + ref.shape[:2]
+    assert hm.min() >= 0.0 and hm.max() <= 1.0
+    max_delta = np.abs(hm - hm_ref).max()
+    assert max_delta < 2.5e-3, max_delta
+
+
+def test_heatmap_raw_matches_oracle(reference, crop_pair):
+    import torch
+
+    test, ref = crop_pair
+    m = cv.cvvdp(display_name="standard_4k", heatmap="raw")
+    _, stats = m.predict(test, ref, dim_order="HWC")
+    hm = np.asarray(stats["heatmap"], np.float32)
+
+    ref_m = reference.cvvdp(display_name="standard_4k", quiet=True,
+                            heatmap="raw", device=torch.device("cpu"))
+    with torch.no_grad():
+        _, stats_ref = ref_m.predict(test, ref, dim_order="HWC")
+    hm_ref = stats_ref["heatmap"].to(torch.float32).numpy()
+    assert np.abs(hm - hm_ref).max() < 2.5e-3
+
+
+def test_vis_tonemap_matches_oracle(reference):
+    """Histogram-equalisation tone-map vs visualize_diff_map.py:23-45."""
+    import torch
+
+    from colorvideovdp_tpu.viz import vis_tonemap
+
+    rng = np.random.RandomState(0)
+    b = np.log(rng.lognormal(mean=2.0, sigma=1.5, size=(1, 1, 64, 96))
+               ).astype(np.float32)
+    got = vis_tonemap(b, 0.6)
+    import pycvvdp.visualize_diff_map as vdm
+
+    want = vdm.vis_tonemap(torch.tensor(b), 0.6).numpy()
+    np.testing.assert_allclose(got, want, atol=2e-3)
+
+
+def test_distogram_export(crop_pair, tmp_path):
+    test, ref = crop_pair
+    m = cv.cvvdp(display_name="standard_4k")
+    _, stats = m.predict(test, ref, dim_order="HWC")
+    dest = str(tmp_path / "distogram.png")
+    m.export_distogram(stats, dest, jod_max=10)
+    assert os.path.exists(dest)
+    from PIL import Image
+
+    img = Image.open(dest)
+    assert img.size[0] > 50 and img.size[1] > 50
+
+
+def test_dump_channels_difference(crop_pair, tmp_path):
+    from colorvideovdp_tpu.dump_channels import DumpChannels
+
+    test, ref = crop_pair
+    dc = DumpChannels(dump_diff=True, output_dir=str(tmp_path))
+    m = cv.cvvdp(display_name="standard_4k", dump_channels=dc)
+    m.predict(test, ref, dim_order="HWC")
+    made = list(os.listdir(tmp_path))
+    assert any("diff" in f for f in made), made
