@@ -153,8 +153,18 @@ class cvvdp(vq_metric):
         self.debug = False
         # Fused Pallas masking kernels (single-chip fast path). Multi-chip
         # programs shard with GSPMD, which cannot partition custom calls —
-        # parallel.sharding disables this flag on the metric it wraps.
+        # parallel.sharding either disables this flag on the metric it wraps
+        # (image path) or sets ``sharding_mesh`` so the kernels are re-issued
+        # per shard through shard_map (video path).
         self.enable_fused_kernels = True
+        # When set (a Mesh with a "space" axis), _process_block wraps the
+        # fused kernels in shard_map over image rows and routes the CSF LUT
+        # through its GSPMD-safe jnp form. Set inside traced fns with
+        # save/restore (parallel/sharding.py) — never leaks to 1-chip use.
+        self.sharding_mesh = None
+        # Test hook: run the fused Pallas path in interpret mode off-TPU so
+        # the shard_map'd kernels can be exercised on the CPU mesh.
+        self.force_fused = False
         self.lpyr = None
         self._block_fns = {}
 
@@ -214,7 +224,7 @@ class cvvdp(vq_metric):
             T = dm.source_2_target_colorspace(test, met_colorspace)
             R = dm.source_2_target_colorspace(ref, met_colorspace)
             B, C, F, H, W = T.shape
-            Rfull = jnp.stack([T, R], axis=2).reshape(B, 2 * C, F, H, W)
+            Rfull = self._interleave_tr(T, R)
             Q_per_ch, _, _ = self._process_block(Rfull, temp_ch=1,
                                                  is_image=True)
             return Q_per_ch
@@ -566,7 +576,7 @@ class cvvdp(vq_metric):
                 B = max(T.shape[0], R.shape[0])
                 T3 = jnp.broadcast_to(T, (B, 3, 1, h, w))
                 R3 = jnp.broadcast_to(R, (B, 3, 1, h, w))
-                Rfull = jnp.stack([T3, R3], axis=2).reshape(B, 6, 1, h, w)
+                Rfull = self._interleave_tr(T3, R3)
                 Q, hm, dump = self._process_block(Rfull, temp_ch=1,
                                                   is_image=True)
                 # Context for heatmap colour-mapping: channel 0 of the block
@@ -583,7 +593,7 @@ class cvvdp(vq_metric):
                 T4 = apply_temporal_filters(sw_test, filt)
                 R4 = apply_temporal_filters(sw_ref, filt)
                 B, _, nf, h, w = T4.shape
-                Rfull = jnp.stack([T4, R4], axis=2).reshape(B, 8, nf, h, w)
+                Rfull = self._interleave_tr(T4, R4)
                 Q, hm, dump = self._process_block(Rfull, temp_ch=2,
                                                   is_image=False)
                 return Q, hm, Rfull[:, 0], dump
@@ -592,6 +602,18 @@ class cvvdp(vq_metric):
 
         self._block_fns[key] = fn
         return fn
+
+    @staticmethod
+    def _interleave_tr(T, R):
+        """(B, C, F, H, W) x2 -> (B, 2C, F, H, W) with channels interleaved
+        test-even / reference-odd. Concat + a channel-axis gather instead of
+        stack+reshape: under GSPMD a stack forces a full rematerialisation of
+        the row-sharded operands, while concat+gather keeps the 'space'
+        sharding intact (identical values either way)."""
+        C = T.shape[1]
+        TR = jnp.concatenate([T, R], axis=1)
+        idx = jnp.arange(2 * C) // 2 + (jnp.arange(2 * C) % 2) * C
+        return jnp.take(TR, idx, axis=1)
 
     @staticmethod
     def _put_flat(a: np.ndarray):
@@ -670,7 +692,7 @@ class cvvdp(vq_metric):
             _, _, _, h, w = T.shape
             T = jnp.broadcast_to(T, (B, 3, 1, h, w))
             R = jnp.broadcast_to(R, (B, 3, 1, h, w))
-            Rfull = jnp.stack([T, R], axis=2).reshape(B, 6, 1, h, w)
+            Rfull = self._interleave_tr(T, R)
             Q, hm, dump = self._process_block(Rfull, temp_ch=1, is_image=True)
             return Q, hm, Rfull[:, 0], dump
 
@@ -703,7 +725,7 @@ class cvvdp(vq_metric):
             T4 = apply_temporal_filters(T_buf, filt)
             R4 = apply_temporal_filters(R_buf, filt)
             B, _, nf, h, w = T4.shape
-            Rfull = jnp.stack([T4, R4], axis=2).reshape(B, 8, nf, h, w)
+            Rfull = self._interleave_tr(T4, R4)
             Q, hm, dump = self._process_block(Rfull, temp_ch=2, is_image=False)
             new_tail_t = T_buf[:, :, blk:]
             new_tail_r = R_buf[:, :, blk:]
@@ -793,12 +815,15 @@ class cvvdp(vq_metric):
         # masking kernels (CSF + contrast coding + mutual masking transducer).
         can_fuse = (
             getattr(self, "enable_fused_kernels", True)
-            and jax.default_backend() == "tpu"
+            and (jax.default_backend() == "tpu"
+                 or getattr(self, "force_fused", False))
             and self.masking_model == "mult-mutual"
             and self.do_xchannel_masking
             and self.dclamp_type == "soft"
             and np.asarray(self.d_max).size == 1
         )
+        mesh = getattr(self, "sharding_mesh", None)
+        n_space = int(mesh.shape["space"]) if mesh is not None else 1
 
         Q_cols = []
         hm_bands = [None] * n_bands
@@ -818,8 +843,16 @@ class cvvdp(vq_metric):
                 for cc in range(all_ch)
             ]
             h_b, w_b = T_f.shape[-2], T_f.shape[-1]
-            if (not is_baseband and can_fuse and h_b >= 8 and w_b >= 128
-                    and T_f.shape[0] == logL.shape[0]):
+            # Under a sharded trace the fused kernels run per shard via
+            # shard_map: each device must get an equal, tile-aligned row slab
+            # (fall back to the GSPMD-partitioned jnp path otherwise).
+            shard_ok = (
+                mesh is None
+                or (h_b % n_space == 0 and h_b // n_space >= 8
+                    and T_f.shape[0] == 1)
+            )
+            if (not is_baseband and can_fuse and shard_ok and h_b >= 8
+                    and w_b >= 128 and T_f.shape[0] == logL.shape[0]):
                 from ..ops.kernels.masking_fused import make_fused_mult_mutual
 
                 lut_rows = np.stack([
@@ -835,14 +868,25 @@ class cvvdp(vq_metric):
                     return mk.phase_uncertainty(M, _p)
 
                 fused = make_fused_mult_mutual(
-                    lut_rows, x0, x1, gains, sens_corr, params, blur_fn
+                    lut_rows, x0, x1, gains, sens_corr, params, blur_fn,
+                    mesh=mesh,
                 )
                 D = fused(T_f, R_f, logL)
             else:
-                S = self.csf.sensitivity_multi_channel(
-                    [l[0] for l in luts], [l[1] for l in luts], logL,
-                    [l[2] for l in luts],
-                )
+                from ..ops.kernels import csf_lut as _csf_lut
+
+                # Under a sharded trace the Pallas LUT kernel cannot be
+                # GSPMD-partitioned — route through the jnp hat-basis form.
+                saved_force = _csf_lut.FORCE_JNP
+                if mesh is not None:
+                    _csf_lut.FORCE_JNP = True
+                try:
+                    S = self.csf.sensitivity_multi_channel(
+                        [l[0] for l in luts], [l[1] for l in luts], logL,
+                        [l[2] for l in luts],
+                    )
+                finally:
+                    _csf_lut.FORCE_JNP = saved_force
                 # (all_ch, B, 1, F, h, w) -> (B, all_ch, F, h, w)
                 S = jnp.moveaxis(S, 0, 1)[:, :, 0] * sens_corr
 

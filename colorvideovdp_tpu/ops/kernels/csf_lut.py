@@ -98,16 +98,22 @@ def _make_lookup(luts_key, luts, x0, x1):
         H, W = orig_shape[-2], orig_shape[-1]
         L = int(np.prod(orig_shape[:-2])) if len(orig_shape) > 2 else 1
         x3 = logL.reshape(L, H, W)
-        th = 128 if H >= 128 else -(-H // 8) * 8
-        grid = (L, -(-H // th))
+        # Cap the (C+1) double-buffered fp32 tiles to ~6 MB of VMEM: a full
+        # 4K row block (C=4, 128, 3840) alone is 7.9 MB and trips the 16 MB
+        # scoped-vmem limit.
+        tw = W if W <= 1024 else 1024
+        budget = 6 * 1024 * 1024 // (2 * (C + 1) * 4 * tw)
+        th = max(8, min(128, budget, H) // 8 * 8)
+        grid = (L, -(-H // th), -(-W // tw))
         kern = functools.partial(_fwd_kernel, luts=luts, x0=float(x0),
                                  scale=scale)
         out = pl.pallas_call(
             kern,
             grid=grid,
-            in_specs=[pl.BlockSpec((1, th, W), lambda l, i: (l, i, 0),
+            in_specs=[pl.BlockSpec((1, th, tw), lambda l, i, j: (l, i, j),
                                    memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec((C, 1, th, W), lambda l, i: (0, l, i, 0),
+            out_specs=pl.BlockSpec((C, 1, th, tw),
+                                   lambda l, i, j: (0, l, i, j),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((C, L, H, W), jnp.float32),
             interpret=interp,
@@ -191,6 +197,12 @@ def _jnp_lookup(logL, luts: np.ndarray, x0: float, x1: float):
     return jnp.stack(outs)
 
 
+# When True, csf_lut_lookup uses the pure-jnp hat-basis path even on TPU.
+# Set (with save/restore) while tracing GSPMD-sharded programs: XLA cannot
+# partition a Pallas custom call, but the jnp chain shards cleanly.
+FORCE_JNP = False
+
+
 def csf_lut_lookup(logL, luts: np.ndarray, x0: float, x1: float):
     """Evaluate ``10**interp1q(logL)`` for each channel.
 
@@ -200,7 +212,7 @@ def csf_lut_lookup(logL, luts: np.ndarray, x0: float, x1: float):
     TPU; natively differentiable jnp elsewhere).
     """
     luts = np.asarray(luts, np.float32)
-    if jax.default_backend() != "tpu":
+    if FORCE_JNP or jax.default_backend() != "tpu":
         return _jnp_lookup(logL, luts, float(x0), float(x1))
     key = (luts.tobytes(), float(x0), float(x1))
     if key not in _FN_CACHE:

@@ -142,13 +142,20 @@ _FUSED_CACHE: dict = {}
 
 
 def make_fused_mult_mutual(luts: np.ndarray, x0: float, x1: float, gains,
-                           sens_corr: float, params, blur_fn):
+                           sens_corr: float, params, blur_fn, mesh=None):
     """Build the fused mult-mutual band function with a recompute-based VJP.
 
     Returns fn(T, R, logL) -> D where all tensors are (B, C, F, H, W) /
     (B, 1, F, H, W). ``blur_fn`` is the phase-uncertainty blur (with the
     10^mask_c scale) applied between the kernels; ``params`` is the
     MaskingParams for the jnp fallback used in the backward pass.
+
+    When ``mesh`` is given (a jax Mesh with a "space" axis), both Pallas
+    kernels are wrapped in ``shard_map`` over the H axis — they are purely
+    elementwise over (H, W), so each shard runs the kernel on its own row
+    slab with no collectives. The blur between them stays in XLA, where
+    GSPMD inserts the row-halo exchange (SURVEY §5.7/§5.8). The caller must
+    ensure H is divisible by the "space" axis size.
     """
     luts = np.asarray(luts, np.float32)
     # Fold the sensitivity correction into the per-channel gains.
@@ -162,22 +169,45 @@ def make_fused_mult_mutual(luts: np.ndarray, x0: float, x1: float, gains,
     def jnp_impl(T, R, logL):
         # Reference-equivalent jnp path (used for the backward pass).
         from .. import masking as mk
-        from .csf_lut import csf_lut_lookup
+        from . import csf_lut as _cl
 
-        S = csf_lut_lookup(logL[:, 0], luts, x0, x1)  # (C, B, F, H, W)
+        if mesh is not None:
+            # A sharded backward cannot partition the Pallas LUT kernel;
+            # use the GSPMD-safe jnp hat-basis form.
+            S = _cl._jnp_lookup(logL[:, 0], luts, float(x0), float(x1))
+        else:
+            S = _cl.csf_lut_lookup(logL[:, 0], luts, x0, x1)  # (C,B,F,H,W)
         S = jnp.moveaxis(S, 0, 1) * float(sens_corr)
         return mk.apply_masking_model(T, R, S, params)
+
+    def a_call(T4, R4, L3):
+        return fused_csf_contrast(T4, R4, L3, luts, x0, x1, g)
+
+    def b_call(m4, diff):
+        return fused_masking_transducer(m4, diff, qs, params.mask_p, xcm,
+                                        max_v)
+
+    if mesh is not None:
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        s4 = P(None, None, "space", None)
+        s3 = P(None, "space", None)
+        a_call = shard_map(a_call, mesh=mesh, in_specs=(s4, s4, s3),
+                           out_specs=(s4, s4), check_rep=False)
+        b_call = shard_map(b_call, mesh=mesh, in_specs=(s4, s4),
+                           out_specs=s4, check_rep=False)
 
     def fwd_impl(T, R, logL):
         B, Cc, F, H, W = T.shape
         T4 = jnp.transpose(T, (1, 0, 2, 3, 4)).reshape(Cc, B * F, H, W)
         R4 = jnp.transpose(R, (1, 0, 2, 3, 4)).reshape(Cc, B * F, H, W)
         L3 = logL.reshape(B * F, H, W)
-        m_pre, diff = fused_csf_contrast(T4, R4, L3, luts, x0, x1, g)
+        m_pre, diff = a_call(T4, R4, L3)
         m5 = m_pre.reshape(Cc, B, F, H, W).transpose(1, 0, 2, 3, 4)
         m_blur = blur_fn(m5)
         m4 = jnp.transpose(m_blur, (1, 0, 2, 3, 4)).reshape(Cc, B * F, H, W)
-        D = fused_masking_transducer(m4, diff, qs, params.mask_p, xcm, max_v)
+        D = b_call(m4, diff)
         return D.reshape(Cc, B, F, H, W).transpose(1, 0, 2, 3, 4)
 
     @jax.custom_vjp

@@ -185,6 +185,12 @@ class LaplacianPyramid:
     one XLA computation.
     """
 
+    # Optional callable(level_array) -> level_array applied after each
+    # reduce. Sharded traces install a with_sharding_constraint hook here
+    # that replicates levels too small to row-shard — GSPMD otherwise emits
+    # "involuntary full rematerialization" resharding KB-sized tensors.
+    reshard_hint = None
+
     def __init__(self, W: int, H: int, ppd: float):
         self.W = W
         self.H = H
@@ -218,7 +224,10 @@ class LaplacianPyramid:
     def gaussian_pyramid(self, image, levels: int):
         res = [image]
         for _ in range(1, levels):
-            res.append(gausspyr_reduce(res[-1]))
+            nxt = gausspyr_reduce(res[-1])
+            if self.reshard_hint is not None:
+                nxt = self.reshard_hint(nxt)
+            res.append(nxt)
         return res
 
     def decompose(self, image):

@@ -88,3 +88,96 @@ def shard_scoring_fn(metric, vid_source, met_colorspace, raw_shape, dtype,
     out_sh = replicated(mesh)
     return jax.jit(fn, in_shardings=(in_sh, in_sh),
                    out_shardings=(out_sh, out_sh))
+
+
+def video_block_sharding(mesh: Mesh):
+    """Sharding for (B, C/F, F/C, H, W) video buffers: batch over B, space
+    over H (image rows)."""
+    return NamedSharding(mesh, P("batch", None, None, "space", None))
+
+
+def shard_video_fn(metric, vid_source, met_colorspace, raw_shape, dtype,
+                   mesh: Mesh, first: bool):
+    """Compile the fused video block step with multi-chip shardings.
+
+    The whole per-block pipeline — dtype ladder, display model, temporal FIR,
+    contrast pyramid, CSF, masking, pooling — is traced once with the H axis
+    sharded over the mesh's "space" axis and B over "batch". GSPMD inserts
+    the row-halo exchanges for the pyramid/blur convolutions and psums for
+    the spatial pooling (SURVEY §5.7/§5.8); the fused Pallas masking kernels
+    stay enabled and are re-issued per shard through shard_map
+    (``metric.sharding_mesh``), since XLA cannot partition a custom call.
+
+    Returns a jitted fn with the same signature as the single-chip
+    ``_get_video_step`` fast path: ``fn(raw_t, raw_r)`` for the first
+    (replicate-padded) block, ``fn(tail_t, tail_r, raw_t, raw_r)`` after,
+    where raw blocks are shaped (B, F, C, H, W) and tails are DKL
+    (B, 3, fl-1, H, W), all row-sharded. Outputs: (Q_per_ch, tail_t, tail_r).
+    """
+    import jax.numpy as jnp
+
+    from ..ops.temporal import apply_temporal_filters
+
+    dm = vid_source.dm_photometry
+    filt = np.stack([f[::-1] for f in metric.F])
+    fl = metric.filter_len
+
+    n_sp = int(mesh.shape["space"])
+
+    def _reshard_hint(x):
+        # Row-shard levels while each device still gets >= 8 rows; replicate
+        # the (KB-sized) deeper levels — GSPMD otherwise falls back to
+        # "involuntary full rematerialization" resharding them.
+        if x.shape[-2] >= 8 * n_sp:
+            spec = P("batch", None, None, "space", None)
+        else:
+            spec = P("batch")
+        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+    def core(T_buf, R_buf):
+        saved_mesh = getattr(metric, "sharding_mesh", None)
+        saved_hint = metric.lpyr.reshard_hint
+        metric.sharding_mesh = mesh
+        metric.lpyr.reshard_hint = _reshard_hint
+        try:
+            blk = T_buf.shape[2] - (fl - 1)
+            T4 = apply_temporal_filters(T_buf, filt)
+            R4 = apply_temporal_filters(R_buf, filt)
+            Rfull = metric._interleave_tr(T4, R4)
+            Q, _hm, _dump = metric._process_block(Rfull, temp_ch=2,
+                                                  is_image=False)
+            return Q, T_buf[:, :, blk:], R_buf[:, :, blk:]
+        finally:
+            metric.sharding_mesh = saved_mesh
+            metric.lpyr.reshard_hint = saved_hint
+
+    v_sh = video_block_sharding(mesh)
+    out_sh = replicated(mesh)
+
+    if first:
+
+        def fn(raw_t, raw_r):
+            T_new = metric._flat_to_met(dm, raw_t, raw_shape, met_colorspace,
+                                        vid_source)
+            R_new = metric._flat_to_met(dm, raw_r, raw_shape, met_colorspace,
+                                        vid_source)
+            B, C, _, H, W = T_new.shape
+            head_t = jnp.broadcast_to(T_new[:, :, 0:1], (B, C, fl - 1, H, W))
+            head_r = jnp.broadcast_to(R_new[:, :, 0:1], (B, C, fl - 1, H, W))
+            return core(jnp.concatenate([head_t, T_new], axis=2),
+                        jnp.concatenate([head_r, R_new], axis=2))
+
+        return jax.jit(fn, in_shardings=(v_sh, v_sh),
+                       out_shardings=(out_sh, v_sh, v_sh))
+
+    def fn(tail_t, tail_r, raw_t, raw_r):
+        T_new = metric._flat_to_met(dm, raw_t, raw_shape, met_colorspace,
+                                    vid_source)
+        R_new = metric._flat_to_met(dm, raw_r, raw_shape, met_colorspace,
+                                    vid_source)
+        return core(jnp.concatenate([tail_t, T_new], axis=2),
+                    jnp.concatenate([tail_r, R_new], axis=2))
+
+    return jax.jit(fn, in_shardings=(v_sh, v_sh, v_sh, v_sh),
+                   out_shardings=(out_sh, v_sh, v_sh),
+                   donate_argnums=(0, 1))

@@ -11,10 +11,13 @@ Usage: python tools/profile_stages.py [--quick] [--blk N]
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def timeit(fn, *args, reps=3):
@@ -79,11 +82,27 @@ def main():
     print(f"unpack+DKL (1 src): {t*1e3:8.2f} ms  -> {blk/t:7.1f} fps",
           flush=True)
 
+    # Sub-stages of the ingest path.
+    flat_f32 = jnp.asarray(
+        (np.ascontiguousarray(raw_t).reshape(-1).astype(np.float32) / 255.0)
+    )
+    s1a = jax.jit(lambda a: dm.forward(a.reshape(shape)))
+    t = timeit(s1a, flat_f32)
+    print(f"  EOTF only (1 src):  {t*1e3:8.2f} ms  -> {blk/t:7.1f} fps",
+          flush=True)
+    s1b = jax.jit(lambda a: jnp.transpose(a.reshape(shape), (0, 2, 1, 3, 4))
+                  + 0.0)
+    t = timeit(s1b, flat_f32)
+    print(f"  F<->C transpose:    {t*1e3:8.2f} ms  -> {blk/t:7.1f} fps",
+          flush=True)
+    del flat_f32
+
     T_dkl = s1(dt)
     R_dkl = s1(dr)
     tail = jnp.zeros((1, 3, fl - 1, H, W), jnp.float32) + 50.0
     T_buf = jnp.concatenate([tail, T_dkl], axis=2)
     R_buf = jnp.concatenate([tail, R_dkl], axis=2)
+    del T_dkl, R_dkl
 
     # Stage 2: temporal FIR
     filt = np.stack([f[::-1] for f in m.F])
@@ -94,8 +113,11 @@ def main():
 
     T4 = s2(T_buf)
     R4 = s2(R_buf)
+    del T_buf, R_buf
     B, _, nf, _, _ = T4.shape
     Rfull = jnp.stack([T4, R4], axis=2).reshape(B, 8, nf, H, W)
+    Rfull.block_until_ready()
+    del T4, R4
 
     # Stage 3: pyramid decompose (Weber contrast)
     s3 = jax.jit(lambda x: tuple(m.lpyr.decompose(x)[0]))
@@ -108,6 +130,26 @@ def main():
     t = timeit(s4, Rfull)
     print(f"process_block:      {t*1e3:8.2f} ms  -> {blk/t:7.1f} fps",
           flush=True)
+
+    # Stage 3b/3c: band-0 masking sub-stages in isolation
+    from colorvideovdp_tpu.ops import masking as mk
+    from colorvideovdp_tpu.ops.kernels.csf_lut import csf_lut_lookup
+
+    params = m._masking_params()
+    M0 = Rfull[:, 0:4]
+    s_blur = jax.jit(lambda x: mk.phase_uncertainty(x, params))
+    t = timeit(s_blur, M0)
+    print(f"  pu blur (4ch):      {t*1e3:8.2f} ms  -> {blk/t:7.1f} fps",
+          flush=True)
+    logL = jnp.log10(jnp.clip(Rfull[:, 1:2], 0.01, None))[:, 0]
+    lut_rows = np.stack([m.csf.logS_of_logL(2.0, om, cc)
+                         for om, cc in ((0, 0), (0, 1), (0, 2), (5, 0))])
+    x0, x1 = float(m.csf.log_L_bkg[0]), float(m.csf.log_L_bkg[-1])
+    s_csf = jax.jit(lambda L: csf_lut_lookup(L, lut_rows, x0, x1))
+    t = timeit(s_csf, logL)
+    print(f"  CSF LUT (4ch):      {t*1e3:8.2f} ms  -> {blk/t:7.1f} fps",
+          flush=True)
+    del M0, logL
 
     # Stage 4b: process_block without fused kernels
     m.enable_fused_kernels = False
