@@ -257,10 +257,11 @@ class video_source_video_file(video_source_dm):
         return block
 
     def get_raw_frame_list(self, which, indices):
-        """Arbitrary (small) frame sets for padding heads. Decoded once and
+        """Arbitrary (small) frame sets for padding heads, frame-major
+        (1, len(indices), 3, H, W) like get_raw_block. Decoded once and
         cached — indices are within the first filter-length frames."""
         frames = [self._get_cached_frame(which, i) for i in indices]
-        return np.stack(frames, axis=1)[None].transpose(0, 1, 2, 3, 4)[0][None]
+        return np.stack(frames, axis=0)[None]
 
     def _get_cached_frame(self, which, idx):
         key = (which, idx)

@@ -112,10 +112,25 @@ def _reduce_1d(x, axis: int, odd_correction: bool):
     return jnp.concatenate([first, last], axis=ax)
 
 
+# When True (sharded traces), skip the Pallas reduce kernel — GSPMD cannot
+# partition custom calls; the XLA path shards with halo exchanges instead.
+FORCE_XLA = False
+
+
 def gausspyr_reduce(x):
     """Gaussian pyramid reduce: stride-2 separable 5-tap filter (reference:
     lpyr_dec.py:186-211)."""
+    import jax
+
     H = x.shape[-2]
+    if (not FORCE_XLA and jax.default_backend() == "tpu"):
+        from .kernels.pyramid_reduce import can_reduce_tpu, reduce_tpu
+
+        if can_reduce_tpu(x.shape):
+            lead = x.shape[:-2]
+            P = int(np.prod(lead)) if lead else 1
+            y = reduce_tpu(x.reshape(P, H, x.shape[-1]))
+            return y.reshape(lead + y.shape[-2:])
     rows_odd = (H % 2) == 1
     y = _reduce_1d(x, -2, odd_correction=rows_odd)
     # NOTE: the horizontal pass keys its correction on the ROW count parity —
@@ -153,19 +168,36 @@ def _interleave_zeros_and_pad(x, exp_size: int, axis: int):
 
 
 def _expand_1d(x, axis: int, exp_size: int):
-    """Zero-interleaved upsample + 5-tap valid conv as shifted multiply-adds
-    along the native axis (measured: beats lhs-dilated convs ~4x and avoids
-    transposes)."""
+    """Zero-interleaved upsample + 5-tap valid conv, evaluated in polyphase
+    form: even outputs y[2i] = 2(K0 xp[i] + K2 xp[i+1] + K4 xp[i+2]), odd
+    y[2i+1] = 2(K1 xp[i+1] + K3 xp[i+2]) over the 1-sample edge-padded input
+    (exactly the border pattern of lpyr_dec.py:129-145). Bit-exact regrouping
+    of the interleaved sum (the dropped terms are exact +0.0 adds) at ~1/3
+    the HBM traffic: the 5-tap pass over the double-size interleaved signal
+    never materialises."""
     nd = x.ndim
     ax = axis % nd
-    z = _interleave_zeros_and_pad(x, exp_size, axis)
-    y = None
-    for i in range(5):
-        term = (2.0 * float(K5[i])) * lax.slice_in_dim(
-            z, i, i + exp_size, axis=ax
-        )
-        y = term if y is None else y + term
-    return y
+    n = x.shape[ax]
+
+    def sl(a, s, e):
+        return lax.slice_in_dim(a, s, e, axis=ax)
+
+    xp = jnp.concatenate([sl(x, 0, 1), x, sl(x, n - 1, n)], axis=ax)
+    n_even = (exp_size + 1) // 2
+    n_odd = exp_size // 2
+    ev = ((2.0 * float(K5[0])) * sl(xp, 0, n_even)
+          + (2.0 * float(K5[2])) * sl(xp, 1, 1 + n_even)
+          + (2.0 * float(K5[4])) * sl(xp, 2, 2 + n_even))
+    od = ((2.0 * float(K5[1])) * sl(xp, 1, 1 + n_odd)
+          + (2.0 * float(K5[3])) * sl(xp, 2, 2 + n_odd))
+    st = jnp.stack([sl(ev, 0, n_odd) if n_even > n_odd else ev, od],
+                   axis=ax + 1)
+    sh = list(x.shape)
+    sh[ax] = 2 * n_odd
+    out = st.reshape(sh)
+    if n_even > n_odd:
+        out = jnp.concatenate([out, sl(ev, n_even - 1, n_even)], axis=ax)
+    return out
 
 
 def gausspyr_expand(x, sz=None):
@@ -263,12 +295,41 @@ class WeberContrastPyramid(LaplacianPyramid):
         self.contrast = contrast
 
     def decompose(self, image):
+        import jax
+
         gpyr = self.gaussian_pyramid(image, self.height + 1)
         height = len(gpyr)
         lpyr = []
         L_bkg_pyr = []
+        from .kernels import pyramid_expand as _pe
+
+        use_fused_expand = (
+            not FORCE_XLA
+            and _pe.ENABLED
+            and jax.default_backend() == "tpu"
+            and image.shape[0] == 1
+            and self.contrast in ("weber_g1", "weber_g1_ref")
+        )
         for i in range(height):
             is_baseband = i == height - 1
+            if not is_baseband and use_fused_expand:
+                from .kernels.pyramid_expand import (
+                    can_expand_tpu,
+                    expand_contrast_tpu,
+                )
+
+                gi = gpyr[i]
+                if can_expand_tpu(gi.shape, self.contrast):
+                    B, C2, F, H, W = gi.shape
+                    ve = _expand_1d(gpyr[i + 1], -2, H)  # (1,C2,F,H,Wi1)
+                    con, logL = expand_contrast_tpu(
+                        gi.reshape(C2, F, H, W),
+                        ve.reshape(C2, F, H, ve.shape[-1]),
+                        ref_only=self.contrast.endswith("ref"),
+                    )
+                    lpyr.append(con.reshape(1, C2, F, H, W))
+                    L_bkg_pyr.append(logL.reshape(1, 1, F, H, W))
+                    continue
             if is_baseband:
                 layer = gpyr[i]
                 if self.contrast.endswith("ref"):

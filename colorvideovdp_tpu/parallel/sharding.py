@@ -59,8 +59,12 @@ def shard_scoring_fn(metric, vid_source, met_colorspace, raw_shape, dtype,
         # so the pyramid halos / pooling psums shard cleanly. The flag is
         # restored after tracing — sharded use must not disable the fused
         # kernels for later single-chip scoring on the same metric object.
+        from ..ops import pyramid as _pyr
+
         saved = getattr(metric, "enable_fused_kernels", True)
+        saved_red = _pyr.FORCE_XLA
         metric.enable_fused_kernels = False
+        _pyr.FORCE_XLA = True
         try:
             # Inputs arrive shaped (B, F, C, H, W); reshape(shape) is a no-op
             # that keeps the named sharding intact.
@@ -83,6 +87,7 @@ def shard_scoring_fn(metric, vid_source, met_colorspace, raw_shape, dtype,
             return Q, hm
         finally:
             metric.enable_fused_kernels = saved
+            _pyr.FORCE_XLA = saved_red
 
     in_sh = image_pair_sharding(mesh)
     out_sh = replicated(mesh)
@@ -135,10 +140,14 @@ def shard_video_fn(metric, vid_source, met_colorspace, raw_shape, dtype,
         return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
     def core(T_buf, R_buf):
+        from ..ops import pyramid as _pyr
+
         saved_mesh = getattr(metric, "sharding_mesh", None)
         saved_hint = metric.lpyr.reshard_hint
+        saved_red = _pyr.FORCE_XLA
         metric.sharding_mesh = mesh
         metric.lpyr.reshard_hint = _reshard_hint
+        _pyr.FORCE_XLA = True
         try:
             blk = T_buf.shape[2] - (fl - 1)
             T4 = apply_temporal_filters(T_buf, filt)
@@ -150,6 +159,7 @@ def shard_video_fn(metric, vid_source, met_colorspace, raw_shape, dtype,
         finally:
             metric.sharding_mesh = saved_mesh
             metric.lpyr.reshard_hint = saved_hint
+            _pyr.FORCE_XLA = saved_red
 
     v_sh = video_block_sharding(mesh)
     out_sh = replicated(mesh)
