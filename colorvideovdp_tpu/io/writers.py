@@ -2,22 +2,93 @@
 
 TPU-build equivalents of the ffmpeg-pipe writers (reference:
 pycvvdp/video_writer.py). No ffmpeg binary exists here: SDR video goes
-through OpenCV's bundled encoder (mp4v); HDR content is written as PQ-encoded
-16-bit data reduced to the best container available — 10-bit is not reachable
-through cv2, so HDR video falls back to 8-bit PQ mp4 (with a warning) or EXR
-frame dumps for the lossless path.
+through OpenCV's bundled encoder (mp4v); HDR content keeps its 10 bits by
+going to a YUV4MPEG2 (.y4m, C420p10) stream instead — the uncompressed
+interchange format every ffmpeg/x265 build ingests directly, standing in
+for the reference's SMPTE-2084 h265/VP9 encodes (video_writer.py:35-53).
 """
 
 from __future__ import annotations
 
+import fractions
 import logging
 import os
 
 import numpy as np
 
 
+class Y4MWriter:
+    """YUV4MPEG2 writer: 10-bit C420p10 (HDR/PQ route) or 8-bit C420.
+
+    Expects display-encoded RGB in 0..1 (PQ+BT.2020 for HDR). Limited-range
+    quantisation and the RGB<->YCbCr matrices are the exact inverses of the
+    .yuv reader (io/yuv.py:151-163), so write->read round-trips to within
+    one code value.
+    """
+
+    def __init__(self, fname, fps=24, bit_depth=10, color_space="2020",
+                 verbose=False):
+        from .yuv import _YCBCR2RGB
+
+        self.fname = fname
+        self.fps = fps
+        self.bit_depth = int(bit_depth)
+        self.color_space = color_space
+        self.verbose = verbose
+        self._M = np.linalg.inv(_YCBCR2RGB[color_space]).astype(np.float64)
+        self._f = None
+
+    def _open(self, H, W):
+        fr = fractions.Fraction(self.fps).limit_denominator(65535)
+        ctag = "C420p10 XCOLORRANGE=LIMITED" if self.bit_depth == 10 \
+            else "C420jpeg"
+        self._f = open(self.fname, "wb")
+        self._f.write(
+            f"YUV4MPEG2 W{W} H{H} F{fr.numerator}:{fr.denominator} "
+            f"Ip A1:1 {ctag}\n".encode()
+        )
+
+    def write_frame_rgb(self, rgb):
+        rgb = np.asarray(rgb, np.float64)
+        H, W = rgb.shape[0], rgb.shape[1]
+        if rgb.ndim == 2 or rgb.shape[2] == 1:
+            rgb = np.repeat(rgb.reshape(H, W, 1), 3, axis=2)
+        if H % 2 or W % 2:  # 4:2:0 needs even dims; crop one row/col
+            H, W = H - H % 2, W - W % 2
+            rgb = rgb[:H, :W]
+        if self._f is None:
+            self._open(H, W)
+        ycbcr = np.einsum("hwc,dc->hwd", np.clip(rgb, 0.0, 1.0), self._M)
+        # 2x2 box average for the chroma planes.
+        u = ycbcr[:, :, 1].reshape(H // 2, 2, W // 2, 2).mean(axis=(1, 3))
+        v = ycbcr[:, :, 2].reshape(H // 2, 2, W // 2, 2).mean(axis=(1, 3))
+        d = 2.0 ** (self.bit_depth - 8)
+        maxc = 2 ** self.bit_depth - 1
+        Yq = np.clip((ycbcr[:, :, 0] * 219.0 + 16.0) * d + 0.5, 0, maxc)
+        uq = np.clip((u * 224.0 + 128.0) * d + 0.5, 0, maxc)
+        vq = np.clip((v * 224.0 + 128.0) * d + 0.5, 0, maxc)
+        dt = "<u2" if self.bit_depth > 8 else np.uint8
+        self._f.write(b"FRAME\n")
+        self._f.write(Yq.astype(dt).tobytes())
+        self._f.write(uq.astype(dt).tobytes())
+        self._f.write(vq.astype(dt).tobytes())
+
+    def close(self):
+        if self._f is not None:
+            self._f.close()
+            self._f = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, type, value, tb):
+        self.close()
+
+
 class VideoWriter:
-    """Frame-push mp4 writer (reference: video_writer.py:5-99)."""
+    """Frame-push video writer (reference: video_writer.py:5-99). SDR goes
+    to cv2 mp4; ``hdr_mode`` reroutes to a 10-bit .y4m next to the
+    requested name (no 10-bit mp4 encoder exists in this image)."""
 
     def __init__(self, fname, fps=24, hdr_mode=False, codec="h265",
                  verbose=False):
@@ -27,16 +98,29 @@ class VideoWriter:
         self.hdr_mode = hdr_mode
         self.codec = codec
         self.writer = None
-        if hdr_mode:
-            logging.warning(
-                "No 10-bit HDR encoder is available in this environment; "
-                "writing PQ-encoded 8-bit mp4 (use dm-preview-exr for "
-                "lossless HDR output)."
-            )
+        self._y4m = None
+        if hdr_mode or fname.lower().endswith(".y4m"):
+            y4m_name = fname if fname.lower().endswith(".y4m") else \
+                os.path.splitext(fname)[0] + ".y4m"
+            if y4m_name != fname:
+                logging.warning(
+                    "No 10-bit HDR mp4 encoder in this environment; writing "
+                    f"uncompressed 10-bit PQ {y4m_name} instead (transcode "
+                    "with: ffmpeg -i in.y4m -c:v libx265 -pix_fmt yuv420p10 "
+                    "-x265-params colorprim=bt2020:transfer=smpte2084 out.mp4)"
+                )
+            self._y4m = Y4MWriter(y4m_name, fps=fps, bit_depth=10,
+                                  color_space="2020", verbose=verbose)
 
     def write_frame_rgb(self, rgb):
         """rgb: (H, W, C) float 0..1 (uint8 accepted for SDR). Display-encoded:
         BT.709+sRGB for SDR, BT.2020+PQ for HDR."""
+        if self._y4m is not None:
+            rgb = np.asarray(rgb)
+            if rgb.dtype == np.uint8:
+                rgb = rgb.astype(np.float32) / 255.0
+            self._y4m.write_frame_rgb(rgb)
+            return
         import cv2
 
         H, W = rgb.shape[0], rgb.shape[1]
@@ -57,6 +141,8 @@ class VideoWriter:
         self.writer.write(frame8[:, :, ::-1])  # RGB -> BGR
 
     def close(self):
+        if self._y4m is not None:
+            self._y4m.close()
         if self.writer is not None:
             self.writer.release()
             self.writer = None

@@ -40,5 +40,59 @@ def _blur_1d(x, k: np.ndarray, axis: int):
 
 def gaussian_blur(x, kernel_size: int, sigma: float):
     """Blur the last two axes of ``x``."""
+    import jax
+
     k = gaussian_kernel1d(kernel_size, sigma)
+    # FORCE_XLA doubles as the "sharded trace in progress" flag: GSPMD
+    # cannot partition Pallas custom calls, so sharded traces take the XLA
+    # path (the shifted slices shard cleanly with halo exchanges).
+    from . import pyramid as _pyr
+
+    if not _pyr.FORCE_XLA and jax.default_backend() == "tpu":
+        from .kernels.blur_halo import can_blur_tpu
+
+        if can_blur_tpu(x.shape, kernel_size):
+            lead = x.shape[:-2]
+            P = int(np.prod(lead)) if lead else 1
+            H, W = x.shape[-2], x.shape[-1]
+            y = _blur_tpu_diff(kernel_size, sigma)(x.reshape(P, H, W))
+            return y.reshape(x.shape)
     return _blur_1d(_blur_1d(x, k, -2), k, -1)
+
+
+_TPU_BLUR_CACHE: dict = {}
+
+
+def _blur_tpu_diff(kernel_size: int, sigma: float):
+    """Pallas blur wrapped in a custom VJP: the blur is linear, so the
+    backward pass is the transpose of the XLA implementation (which jax
+    derives automatically — it also handles the reflect-pad adjoint)."""
+    key = (kernel_size, float(sigma))
+    if key in _TPU_BLUR_CACHE:
+        return _TPU_BLUR_CACHE[key]
+
+    import jax
+
+    from .kernels.blur_halo import blur_tpu
+
+    k = gaussian_kernel1d(kernel_size, sigma)
+
+    def xla_impl(x):
+        return _blur_1d(_blur_1d(x, k, -2), k, -1)
+
+    @jax.custom_vjp
+    def f(x):
+        return blur_tpu(x, k)
+
+    def fwd(x):
+        return f(x), x.shape
+
+    def bwd(shape, g):
+        import jax.numpy as jnp
+
+        _, vjp = jax.vjp(xla_impl, jnp.zeros(shape, g.dtype))
+        return (vjp(g)[0],)
+
+    f.defvjp(fwd, bwd)
+    _TPU_BLUR_CACHE[key] = f
+    return f

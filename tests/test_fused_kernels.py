@@ -98,3 +98,26 @@ def test_ingest_kernel_video_parity(padding):
     Q1, _ = m1.predict(V_test, V_ref, dim_order="HWCF",
                        frames_per_second=fps)
     assert abs(float(Q0) - float(Q1)) < 1e-4, (float(Q0), float(Q1))
+
+
+@pytest.mark.parametrize("shape,ks,sigma", [
+    ((3, 128, 256), 13, 3.0),
+    ((2, 96, 640), 13, 3.0),
+    ((1, 88, 300), 5, 1.2),
+])
+def test_blur_kernel_matches_xla(shape, ks, sigma):
+    from colorvideovdp_tpu.ops import blur as bl
+    from colorvideovdp_tpu.ops.kernels.blur_halo import (
+        blur_tpu,
+        can_blur_tpu,
+    )
+
+    rng = np.random.RandomState(7)
+    x = rng.rand(*shape).astype(np.float32)
+    if not can_blur_tpu(x.shape, ks):
+        pytest.skip("not kernel-eligible")
+    k = bl.gaussian_kernel1d(ks, sigma)
+    y_ref = np.asarray(bl._blur_1d(bl._blur_1d(jnp.asarray(x), k, -2),
+                                   k, -1))
+    y_k = np.asarray(blur_tpu(jnp.asarray(x), k, interpret=True))
+    assert np.abs(y_ref - y_k).max() < 1e-6
