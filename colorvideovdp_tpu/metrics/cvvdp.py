@@ -864,8 +864,6 @@ class cvvdp(vq_metric):
         n_bands = lpyr.get_band_count()
         params = self._masking_params()
 
-        B_bands, L_bkg_pyr = lpyr.decompose(R)
-
         rho_band = lpyr.get_freqs()
         rho_band[n_bands - 1] = 0.1  # baseband CSF frequency
 
@@ -887,48 +885,94 @@ class cvvdp(vq_metric):
         mesh = getattr(self, "sharding_mesh", None)
         n_space = int(mesh.shape["space"]) if mesh is not None else 1
 
+        # Raw-band mode: the interior levels skip the con/logL
+        # materialisations entirely — the Weber division happens inside the
+        # masking kernel (single-device scoring; dumps need explicit bands).
+        raw_pairs = (
+            can_fuse and mesh is None and not self.dump_channels
+            and isinstance(lpyr, WeberContrastPyramid)
+            and self.contrast in ("weber_g1", "weber_g1_ref")
+        )
+        if raw_pairs:
+            B_bands, L_bkg_pyr = lpyr.decompose(R, raw_pairs=True)
+        else:
+            B_bands, L_bkg_pyr = lpyr.decompose(R)
+
         Q_cols = []
         hm_bands = [None] * n_bands
         dump_D = [] if self.dump_channels else None
         for bb in range(n_bands):
             is_baseband = bb == n_bands - 1
-            B_bb = lpyr.get_band(B_bands, bb)
-            T_f = B_bb[:, 0::2]
-            R_f = B_bb[:, 1::2]
-
-            # Sensitivity is extracted for the reference image's adaptation
-            # field (the pyramid already returns only that channel).
-            logL = L_bkg_pyr[bb]
+            raw_band = isinstance(B_bands[bb], tuple)
+            mul_band = 1.0 if (bb == 0 or is_baseband) else 2.0
             rho = float(rho_band[bb])
             luts = [
                 (rho, self.omega[0 if cc < 3 else 1], cc if cc < 3 else 0)
                 for cc in range(all_ch)
             ]
-            h_b, w_b = T_f.shape[-2], T_f.shape[-1]
+
+            def _lut_rows():
+                return (
+                    np.stack([self.csf.logS_of_logL(rho, om, cc)
+                              for _r, om, cc in luts]),
+                    float(self.csf.log_L_bkg[0]),
+                    float(self.csf.log_L_bkg[-1]),
+                    np.array([1.0, 1.45, 1.0, 1.0], np.float32)[:all_ch],
+                )
+
+            def blur_fn(M, _p=params):
+                return mk.phase_uncertainty(M, _p)
+
+            if raw_band:
+                gi_b, E_b = B_bands[bb]
+                h_b, w_b = gi_b.shape[-2], gi_b.shape[-1]
+                if h_b >= 8 and w_b >= 128:
+                    from ..ops.kernels.masking_fused import (
+                        make_fused_mult_mutual_raw,
+                    )
+
+                    lut_rows, x0, x1, gains = _lut_rows()
+                    fused = make_fused_mult_mutual_raw(
+                        lut_rows, x0, x1, gains, sens_corr, params, blur_fn,
+                        self.contrast.endswith("ref"), mul_band,
+                    )
+                    D = fused(gi_b, E_b)
+                    T_f = None  # KB-sized tiny bands never take this route
+                else:
+                    # Tiny deep band: contrast coding in jnp, generic path.
+                    lb_r = jnp.clip(E_b[:, 1:2], 0.01, None)
+                    lb_t = (lb_r if self.contrast.endswith("ref")
+                            else jnp.clip(E_b[:, 0:1], 0.01, None))
+                    T_f = jnp.clip((gi_b[:, 0::2] - E_b[:, 0::2]) / lb_t,
+                                   None, 1000.0) * mul_band
+                    R_f = jnp.clip((gi_b[:, 1::2] - E_b[:, 1::2]) / lb_r,
+                                   None, 1000.0) * mul_band
+                    logL = jnp.log10(lb_r)
+            else:
+                B_bb = lpyr.get_band(B_bands, bb)
+                T_f = B_bb[:, 0::2]
+                R_f = B_bb[:, 1::2]
+                # Sensitivity is extracted for the reference image's
+                # adaptation field (the pyramid returns only that channel).
+                logL = L_bkg_pyr[bb]
+                h_b, w_b = T_f.shape[-2], T_f.shape[-1]
+
             # Under a sharded trace the fused kernels run per shard via
             # shard_map: each device must get an equal, tile-aligned row slab
             # (fall back to the GSPMD-partitioned jnp path otherwise).
             shard_ok = (
                 mesh is None
                 or (h_b % n_space == 0 and h_b // n_space >= 8
-                    and T_f.shape[0] == 1)
-            )
-            if (not is_baseband and can_fuse and shard_ok and h_b >= 8
-                    and w_b >= 128 and T_f.shape[0] == logL.shape[0]):
+                    and B_bands[bb].shape[0] == 1)
+            ) if not raw_band else True
+            if raw_band and T_f is None:
+                pass  # D already computed by the raw fused kernel
+            elif (not is_baseband and not raw_band and can_fuse and shard_ok
+                    and h_b >= 8 and w_b >= 128
+                    and T_f.shape[0] == logL.shape[0]):
                 from ..ops.kernels.masking_fused import make_fused_mult_mutual
 
-                lut_rows = np.stack([
-                    self.csf.logS_of_logL(rho, om, cc)
-                    for _r, om, cc in luts
-                ])
-                x0 = float(self.csf.log_L_bkg[0])
-                x1 = float(self.csf.log_L_bkg[-1])
-                gains = np.array([1.0, 1.45, 1.0, 1.0],
-                                 np.float32)[:all_ch]
-
-                def blur_fn(M, _p=params):
-                    return mk.phase_uncertainty(M, _p)
-
+                lut_rows, x0, x1, gains = _lut_rows()
                 fused = make_fused_mult_mutual(
                     lut_rows, x0, x1, gains, sens_corr, params, blur_fn,
                     mesh=mesh,

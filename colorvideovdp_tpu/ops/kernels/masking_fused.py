@@ -62,6 +62,27 @@ def _kernel_a(T_ref, R_ref, logL_ref, mpre_ref, diff_ref, *, luts, x0, scale,
         diff_ref[c] = jnp.abs(T_p - R_p)
 
 
+def _kernel_a_raw(gi_ref, E_ref, mpre_ref, diff_ref, *, luts, x0, scale,
+                  gains, ref_only, mul):
+    """Kernel A with the Weber contrast coding folded in: inputs are the
+    raw Gaussian level (interleaved T/R channels) and the expanded next
+    level; the contrast division, clip, band gain, log-luminance and CSF
+    happen in VMEM (saves the con/logL materialisations between decompose
+    and masking, reference chain: lpyr_dec.py:358-414 +
+    cvvdp_metric.py:887-905)."""
+    C = luts.shape[0]
+    lb_r = jnp.maximum(E_ref[1], 0.01)
+    lb_t = lb_r if ref_only else jnp.maximum(E_ref[0], 0.01)
+    logS = _lut_eval(jnp.log10(lb_r), luts, x0, scale)
+    for c in range(C):
+        S = (10.0 ** logS[c]) * (float(gains[c]) * float(mul))
+        T_p = jnp.minimum((gi_ref[2 * c] - E_ref[2 * c]) / lb_t, 1000.0) * S
+        R_p = jnp.minimum((gi_ref[2 * c + 1] - E_ref[2 * c + 1]) / lb_r,
+                          1000.0) * S
+        mpre_ref[c] = jnp.minimum(jnp.abs(T_p), jnp.abs(R_p))
+        diff_ref[c] = jnp.abs(T_p - R_p)
+
+
 def _kernel_b(m_ref, diff_ref, d_ref, *, qs, p, xcm, max_v):
     C = xcm.shape[0]
     mq = []
@@ -119,6 +140,42 @@ def fused_csf_contrast(T, R, logL, luts: np.ndarray, x0: float, x1: float,
     )(T, R, logL)
 
 
+def fused_csf_contrast_raw(gi, E, luts: np.ndarray, x0: float, x1: float,
+                           gains, ref_only: bool, mul: float) -> tuple:
+    """Kernel A-raw over (2C, L, H, W) tensors. Returns (M_pre, diff),
+    each (C, L, H, W)."""
+    C2, L, H, W = gi.shape
+    C = C2 // 2
+    n = luts.shape[1]
+    scale = float((n - 1) / (x1 - x0))
+    # 2C + 2C input planes + 2C output planes, double-buffered, ~8 MB.
+    budget = 8 * 1024 * 1024 // (2 * 6 * C * 4)
+    tw = W if W <= 1024 else 1024
+    th = max(8, min(H, budget // tw) // 8 * 8)
+    grid = (L, -(-H // th), -(-W // tw))
+
+    def im4c2(l, i, j):
+        return (0, l, i, j)
+
+    b_in = pl.BlockSpec((C2, 1, th, tw), im4c2, memory_space=pltpu.VMEM)
+    b_out = pl.BlockSpec((C, 1, th, tw), im4c2, memory_space=pltpu.VMEM)
+    kern = functools.partial(_kernel_a_raw, luts=luts, x0=float(x0),
+                             scale=scale,
+                             gains=tuple(float(g) for g in gains),
+                             ref_only=bool(ref_only), mul=float(mul))
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[b_in, b_in],
+        out_specs=(b_out, b_out),
+        out_shape=(
+            jax.ShapeDtypeStruct((C, L, H, W), jnp.float32),
+            jax.ShapeDtypeStruct((C, L, H, W), jnp.float32),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(gi, E)
+
+
 def fused_masking_transducer(M, diff, qs, p: float, xcm: np.ndarray,
                              max_v: float):
     """Kernel B over (C, L, H, W) tensors. Returns D."""
@@ -139,6 +196,72 @@ def fused_masking_transducer(M, diff, qs, p: float, xcm: np.ndarray,
 
 
 _FUSED_CACHE: dict = {}
+
+
+def make_fused_mult_mutual_raw(luts: np.ndarray, x0: float, x1: float,
+                               gains, sens_corr: float, params, blur_fn,
+                               ref_only: bool, mul: float):
+    """Raw-band variant of ``make_fused_mult_mutual``: takes the Gaussian
+    level ``gi`` (B, 2C, F, H, W, T/R interleaved) and the expanded next
+    level ``E`` (same shape) and performs the Weber contrast coding
+    in-kernel. Returns fn(gi, E) -> D (B, C, F, H, W).
+
+    Single-device scoring path only (sharded traces use the contrast-band
+    route). Gradients recompute through the jnp chain.
+    """
+    luts = np.asarray(luts, np.float32)
+    g = tuple(float(gv) * float(sens_corr) for gv in gains)
+    C = luts.shape[0]
+    qs = np.asarray(params.mask_q, np.float32)[:C]
+    xcm = np.power(2.0, np.asarray(params.xcm_weights,
+                                   np.float32)).reshape(4, 4)[:C, :C]
+    max_v = 10.0 ** float(params.d_max)
+
+    def contrast_jnp(gi, E):
+        """(B, 2C, F, H, W) -> (T, R, logL) exactly as the decompose +
+        get_band chain computes them."""
+        lb_r = jnp.clip(E[:, 1:2], 0.01, None)
+        lb_t = lb_r if ref_only else jnp.clip(E[:, 0:1], 0.01, None)
+        T = jnp.clip((gi[:, 0::2] - E[:, 0::2]) / lb_t, None, 1000.0) * mul
+        R = jnp.clip((gi[:, 1::2] - E[:, 1::2]) / lb_r, None, 1000.0) * mul
+        return T, R, jnp.log10(lb_r[:, 0])
+
+    def jnp_impl(gi, E):
+        from .. import masking as mk
+        from . import csf_lut as _cl
+
+        T, R, logL = contrast_jnp(gi, E)
+        S = _cl.csf_lut_lookup(logL, luts, x0, x1)
+        S = jnp.moveaxis(S, 0, 1) * float(sens_corr)
+        return mk.apply_masking_model(T, R, S, params)
+
+    def fwd_impl(gi, E):
+        B, C2, F, H, W = gi.shape
+        gi4 = jnp.transpose(gi, (1, 0, 2, 3, 4)).reshape(C2, B * F, H, W)
+        E4 = jnp.transpose(E, (1, 0, 2, 3, 4)).reshape(C2, B * F, H, W)
+        m_pre, diff = fused_csf_contrast_raw(gi4, E4, luts, x0, x1, g,
+                                             ref_only, mul)
+        m5 = m_pre.reshape(C, B, F, H, W).transpose(1, 0, 2, 3, 4)
+        m_blur = blur_fn(m5)
+        m4 = jnp.transpose(m_blur, (1, 0, 2, 3, 4)).reshape(C, B * F, H, W)
+        D = fused_masking_transducer(m4, diff, qs, params.mask_p, xcm,
+                                     max_v)
+        return D.reshape(C, B, F, H, W).transpose(1, 0, 2, 3, 4)
+
+    @jax.custom_vjp
+    def fused(gi, E):
+        return fwd_impl(gi, E)
+
+    def fused_fwd(gi, E):
+        return fwd_impl(gi, E), (gi, E)
+
+    def fused_bwd(res, gout):
+        gi, E = res
+        _, vjp = jax.vjp(jnp_impl, gi, E)
+        return vjp(gout)
+
+    fused.defvjp(fused_fwd, fused_bwd)
+    return fused
 
 
 def make_fused_mult_mutual(luts: np.ndarray, x0: float, x1: float, gains,

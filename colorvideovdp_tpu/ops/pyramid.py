@@ -294,7 +294,12 @@ class WeberContrastPyramid(LaplacianPyramid):
         super().__init__(W, H, ppd)
         self.contrast = contrast
 
-    def decompose(self, image):
+    def decompose(self, image, raw_pairs=False):
+        """``raw_pairs=True`` (fused-scoring path): interior levels return
+        ``(G_i, expand(G_{i+1}))`` tuples with ``None`` log-luminance — the
+        Weber contrast coding then happens inside the masking Pallas kernel
+        (ops/kernels/masking_fused.py:_kernel_a_raw), skipping the con/logL
+        HBM materialisations. Baseband is unchanged."""
         import jax
 
         gpyr = self.gaussian_pyramid(image, self.height + 1)
@@ -304,7 +309,8 @@ class WeberContrastPyramid(LaplacianPyramid):
         from .kernels import pyramid_expand as _pe
 
         use_fused_expand = (
-            not FORCE_XLA
+            not raw_pairs
+            and not FORCE_XLA
             and _pe.ENABLED
             and jax.default_backend() == "tpu"
             and image.shape[0] == 1
@@ -312,6 +318,11 @@ class WeberContrastPyramid(LaplacianPyramid):
         )
         for i in range(height):
             is_baseband = i == height - 1
+            if raw_pairs and not is_baseband:
+                glayer_ex = gausspyr_expand(gpyr[i + 1], gpyr[i].shape[-2:])
+                lpyr.append((gpyr[i], glayer_ex))
+                L_bkg_pyr.append(None)
+                continue
             if not is_baseband and use_fused_expand:
                 from .kernels.pyramid_expand import (
                     can_expand_tpu,

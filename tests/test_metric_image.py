@@ -138,3 +138,19 @@ def test_loss_fn_gradients(wavy):
     # One gradient step should reduce the loss.
     val2 = loss_fn(jnp.asarray(test) - 1e-2 * jnp.sign(g), jnp.asarray(ref))
     assert float(val2) < float(val)
+
+
+def test_predict_under_debug_nans(wavy):
+    """Sanitizer harness (SURVEY §5.2): the whole image pipeline runs under
+    jax.debug_nans — any hidden NaN produced by log/pow/division in the
+    perceptual core would raise here."""
+    import jax
+
+    jax.config.update("jax_debug_nans", True)
+    try:
+        crop = wavy[:64, :96]
+        m = cv.cvvdp(display_name="standard_4k", quiet=True)
+        Q, _ = m.predict(crop, crop, dim_order="HWC")
+        assert float(Q) == 10.0
+    finally:
+        jax.config.update("jax_debug_nans", False)

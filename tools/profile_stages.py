@@ -163,7 +163,9 @@ def main():
 
     # Stage 5: full fused video step (steady state)
     step = m._get_video_step(vs, "DKLd65", shape, raw_t.dtype, first=False)
-    tails = [tail, tail]
+    # Two distinct buffers: both tail args are donated, and donating the
+    # same buffer twice is an INVALID_ARGUMENT on the TPU runtime.
+    tails = [tail, tail + 0.0]
     out = step(tails[0], tails[1], dt, dr)
     float(np.asarray(out[0]).sum())
     tails = [out[3], out[4]]
