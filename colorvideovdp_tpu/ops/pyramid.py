@@ -306,16 +306,6 @@ class WeberContrastPyramid(LaplacianPyramid):
         height = len(gpyr)
         lpyr = []
         L_bkg_pyr = []
-        from .kernels import pyramid_expand as _pe
-
-        use_fused_expand = (
-            not raw_pairs
-            and not FORCE_XLA
-            and _pe.ENABLED
-            and jax.default_backend() == "tpu"
-            and image.shape[0] == 1
-            and self.contrast in ("weber_g1", "weber_g1_ref")
-        )
         for i in range(height):
             is_baseband = i == height - 1
             if raw_pairs and not is_baseband:
@@ -323,24 +313,6 @@ class WeberContrastPyramid(LaplacianPyramid):
                 lpyr.append((gpyr[i], glayer_ex))
                 L_bkg_pyr.append(None)
                 continue
-            if not is_baseband and use_fused_expand:
-                from .kernels.pyramid_expand import (
-                    can_expand_tpu,
-                    expand_contrast_tpu,
-                )
-
-                gi = gpyr[i]
-                if can_expand_tpu(gi.shape, self.contrast):
-                    B, C2, F, H, W = gi.shape
-                    ve = _expand_1d(gpyr[i + 1], -2, H)  # (1,C2,F,H,Wi1)
-                    con, logL = expand_contrast_tpu(
-                        gi.reshape(C2, F, H, W),
-                        ve.reshape(C2, F, H, ve.shape[-1]),
-                        ref_only=self.contrast.endswith("ref"),
-                    )
-                    lpyr.append(con.reshape(1, C2, F, H, W))
-                    L_bkg_pyr.append(logL.reshape(1, 1, F, H, W))
-                    continue
             if is_baseband:
                 layer = gpyr[i]
                 if self.contrast.endswith("ref"):

@@ -32,50 +32,6 @@ def test_reduce_kernel_matches_xla(shape):
     assert np.abs(y_ref - y_k).max() < 1e-6 * max(1.0, np.abs(y_ref).max())
 
 
-@pytest.mark.parametrize("contrast", ["weber_g1", "weber_g1_ref"])
-def test_expand_contrast_kernel_matches_xla(contrast):
-    from colorvideovdp_tpu.ops.kernels.pyramid_expand import (
-        can_expand_tpu,
-        expand_contrast_tpu,
-    )
-
-    rng = np.random.RandomState(1)
-    C, F, H, W = 6, 2, 96, 1280
-    if not can_expand_tpu((C, F, H, W), contrast):
-        pytest.skip("shape not kernel-eligible")
-    gi = (rng.rand(1, C, F, H, W).astype(np.float32) * 100.0)
-    gnext = (rng.rand(1, C, F, (H + 1) // 2, (W + 1) // 2)
-             .astype(np.float32) * 100.0)
-
-    # XLA reference: the decompose() interior-level branch verbatim.
-    glayer_ex = pyr.gausspyr_expand(jnp.asarray(gnext), (H, W))
-    layer = jnp.asarray(gi) - glayer_ex
-    if contrast == "weber_g1_ref":
-        L_bkg = jnp.clip(glayer_ex[..., 1:2, :, :, :], 0.01, None)
-        con_ref = jnp.clip(layer / L_bkg, None, 1000.0)
-        logl_ref = jnp.log10(L_bkg)
-    else:
-        L_bkg = jnp.clip(glayer_ex[..., 0:2, :, :, :], 0.01, None)
-        t = jnp.clip(layer[..., 0::2, :, :, :] / L_bkg[..., 0:1, :, :, :],
-                     None, 1000.0)
-        r = jnp.clip(layer[..., 1::2, :, :, :] / L_bkg[..., 1:2, :, :, :],
-                     None, 1000.0)
-        con_ref = jnp.stack([t, r], axis=-4).reshape(layer.shape)
-        logl_ref = jnp.log10(L_bkg[..., 1:2, :, :, :])
-
-    ve = pyr._expand_1d(jnp.asarray(gnext), -2, H)
-    con_k, logl_k = expand_contrast_tpu(
-        jnp.asarray(gi).reshape(C, F, H, W),
-        ve.reshape(C, F, H, ve.shape[-1]),
-        ref_only=contrast.endswith("ref"),
-        interpret=True,
-    )
-    assert np.abs(np.asarray(con_ref).reshape(C, F, H, W)
-                  - np.asarray(con_k)).max() < 1e-4
-    assert np.abs(np.asarray(logl_ref).reshape(1, F, H, W)[0]
-                  - np.asarray(logl_k)).max() < 1e-5
-
-
 @pytest.mark.parametrize("padding", ["replicate", "symmetric"])
 def test_ingest_kernel_video_parity(padding):
     """force_fused routes the video front end through the Pallas ingest
