@@ -887,9 +887,10 @@ class cvvdp(vq_metric):
 
         # Raw-band mode: the interior levels skip the con/logL
         # materialisations entirely — the Weber division happens inside the
-        # masking kernel (single-device scoring; dumps need explicit bands).
+        # masking kernel (shard_map'd over row slabs under a mesh; dumps
+        # need explicit bands).
         raw_pairs = (
-            can_fuse and mesh is None and not self.dump_channels
+            can_fuse and not self.dump_channels
             and isinstance(lpyr, WeberContrastPyramid)
             and self.contrast in ("weber_g1", "weber_g1_ref")
         )
@@ -926,7 +927,12 @@ class cvvdp(vq_metric):
             if raw_band:
                 gi_b, E_b = B_bands[bb]
                 h_b, w_b = gi_b.shape[-2], gi_b.shape[-1]
-                if h_b >= 8 and w_b >= 128:
+                raw_shard_ok = (
+                    mesh is None
+                    or (h_b % n_space == 0 and h_b // n_space >= 8
+                        and gi_b.shape[0] == 1)
+                )
+                if h_b >= 8 and w_b >= 128 and raw_shard_ok:
                     from ..ops.kernels.masking_fused import (
                         make_fused_mult_mutual_raw,
                     )
@@ -934,10 +940,10 @@ class cvvdp(vq_metric):
                     lut_rows, x0, x1, gains = _lut_rows()
                     fused = make_fused_mult_mutual_raw(
                         lut_rows, x0, x1, gains, sens_corr, params, blur_fn,
-                        self.contrast.endswith("ref"), mul_band,
+                        self.contrast.endswith("ref"), mul_band, mesh=mesh,
                     )
                     D = fused(gi_b, E_b)
-                    T_f = None  # KB-sized tiny bands never take this route
+                    T_f = None  # tiny/unshardable bands never take this route
                 else:
                     # Tiny deep band: contrast coding in jnp, generic path.
                     lb_r = jnp.clip(E_b[:, 1:2], 0.01, None)

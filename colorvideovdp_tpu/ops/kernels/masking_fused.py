@@ -200,14 +200,16 @@ _FUSED_CACHE: dict = {}
 
 def make_fused_mult_mutual_raw(luts: np.ndarray, x0: float, x1: float,
                                gains, sens_corr: float, params, blur_fn,
-                               ref_only: bool, mul: float):
+                               ref_only: bool, mul: float, mesh=None):
     """Raw-band variant of ``make_fused_mult_mutual``: takes the Gaussian
     level ``gi`` (B, 2C, F, H, W, T/R interleaved) and the expanded next
     level ``E`` (same shape) and performs the Weber contrast coding
     in-kernel. Returns fn(gi, E) -> D (B, C, F, H, W).
 
-    Single-device scoring path only (sharded traces use the contrast-band
-    route). Gradients recompute through the jnp chain.
+    With ``mesh`` both kernels run per shard via shard_map over the H axis
+    (elementwise over rows — no collectives); the blur between them stays
+    in XLA where GSPMD inserts the halo exchange. Gradients recompute
+    through the jnp chain.
     """
     luts = np.asarray(luts, np.float32)
     g = tuple(float(gv) * float(sens_corr) for gv in gains)
@@ -231,21 +233,40 @@ def make_fused_mult_mutual_raw(luts: np.ndarray, x0: float, x1: float,
         from . import csf_lut as _cl
 
         T, R, logL = contrast_jnp(gi, E)
-        S = _cl.csf_lut_lookup(logL, luts, x0, x1)
+        if mesh is not None:
+            S = _cl._jnp_lookup(logL, luts, float(x0), float(x1))
+        else:
+            S = _cl.csf_lut_lookup(logL, luts, x0, x1)
         S = jnp.moveaxis(S, 0, 1) * float(sens_corr)
         return mk.apply_masking_model(T, R, S, params)
+
+    def a_call(gi4, E4):
+        return fused_csf_contrast_raw(gi4, E4, luts, x0, x1, g, ref_only,
+                                      mul)
+
+    def b_call(m4, diff):
+        return fused_masking_transducer(m4, diff, qs, params.mask_p, xcm,
+                                        max_v)
+
+    if mesh is not None:
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        s4 = P(None, None, "space", None)
+        a_call = shard_map(a_call, mesh=mesh, in_specs=(s4, s4),
+                           out_specs=(s4, s4), check_rep=False)
+        b_call = shard_map(b_call, mesh=mesh, in_specs=(s4, s4),
+                           out_specs=s4, check_rep=False)
 
     def fwd_impl(gi, E):
         B, C2, F, H, W = gi.shape
         gi4 = jnp.transpose(gi, (1, 0, 2, 3, 4)).reshape(C2, B * F, H, W)
         E4 = jnp.transpose(E, (1, 0, 2, 3, 4)).reshape(C2, B * F, H, W)
-        m_pre, diff = fused_csf_contrast_raw(gi4, E4, luts, x0, x1, g,
-                                             ref_only, mul)
+        m_pre, diff = a_call(gi4, E4)
         m5 = m_pre.reshape(C, B, F, H, W).transpose(1, 0, 2, 3, 4)
         m_blur = blur_fn(m5)
         m4 = jnp.transpose(m_blur, (1, 0, 2, 3, 4)).reshape(C, B * F, H, W)
-        D = fused_masking_transducer(m4, diff, qs, params.mask_p, xcm,
-                                     max_v)
+        D = b_call(m4, diff)
         return D.reshape(C, B, F, H, W).transpose(1, 0, 2, 3, 4)
 
     @jax.custom_vjp
