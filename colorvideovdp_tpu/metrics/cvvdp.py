@@ -932,7 +932,12 @@ class cvvdp(vq_metric):
                     or (h_b % n_space == 0 and h_b // n_space >= 8
                         and gi_b.shape[0] == 1)
                 )
-                if h_b >= 8 and w_b >= 128 and raw_shard_ok:
+                # Deep KB-sized bands stay on XLA: each Pallas instance is
+                # another slow remote Mosaic compile for ~1% of the pixels.
+                # force_fused (the CPU interpret-mode test path) keeps the
+                # low threshold so kernel semantics stay covered.
+                min_w = 128 if getattr(self, "force_fused", False) else 512
+                if h_b >= 8 and w_b >= min_w and raw_shard_ok:
                     from ..ops.kernels.masking_fused import (
                         make_fused_mult_mutual_raw,
                     )

@@ -21,7 +21,6 @@ jnp path in ops/masking.py.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,6 @@ Parity notes (all verified against the reference):
 from __future__ import annotations
 
 import math
-from functools import partial
 
 import jax.numpy as jnp
 import numpy as np

@@ -77,3 +77,24 @@ def test_blur_kernel_matches_xla(shape, ks, sigma):
                                    k, -1))
     y_k = np.asarray(blur_tpu(jnp.asarray(x), k, interpret=True))
     assert np.abs(y_ref - y_k).max() < 1e-6
+
+
+def test_odd_resolution_video_force_fused():
+    """Kernel gating sanity at awkward sizes: odd W/H must route cleanly
+    between Pallas and XLA paths and still match the pure-XLA result."""
+    rng = np.random.RandomState(13)
+    H, W, N, fps = 45, 151, 6, 24
+    V_ref = np.repeat((rng.rand(H, W, 3, 1) * 255).astype(np.uint8), N,
+                      axis=3)
+    V_test = ((V_ref.astype(np.float32) / 255
+               + rng.randn(*V_ref.shape) * 0.05).clip(0, 1)
+              * 255).astype(np.uint8)
+    kw = dict(display_name="standard_4k", quiet=True)
+    m0 = cv.cvvdp(**kw)
+    Q0, _ = m0.predict(V_test, V_ref, dim_order="HWCF",
+                       frames_per_second=fps)
+    m1 = cv.cvvdp(**kw)
+    m1.force_fused = True
+    Q1, _ = m1.predict(V_test, V_ref, dim_order="HWCF",
+                       frames_per_second=fps)
+    assert abs(float(Q0) - float(Q1)) < 1e-4, (float(Q0), float(Q1))

@@ -122,7 +122,6 @@ def main(argv=None):
                 done.add((r.get("test"), r.get("reference")))
 
     # Import after arg parsing so --merge works without jax installed.
-    from colorvideovdp_tpu.cli import run_on_args  # noqa: F401  (env check)
     from colorvideovdp_tpu.io.video_source_file import video_source_file
     from colorvideovdp_tpu.metrics.base import vq_metric_dict
 
