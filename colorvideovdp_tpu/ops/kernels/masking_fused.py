@@ -32,22 +32,25 @@ _EPS = 1e-5
 
 
 def _lut_eval(logL, luts, x0, scale):
-    n = luts.shape[1]
+    """Piecewise-linear LUT on a VMEM tile, in relu-ladder form: with knots
+    at integers, g(x) = g(0) + sum_k c_k * relu(x - k) where c_k are the
+    slope changes. TPU has no per-lane gather, and the naive per-segment
+    where() chain costs ~5 vector ops per (channel, knot); the ladder's
+    relu(x - k) is shared across channels, leaving one fma per channel per
+    knot (~3x fewer ops). The reassociated sum agrees with segment-wise
+    interpolation to a few fp32 ulps."""
+    C, n = luts.shape
+    lutf = np.asarray(luts, np.float64)
+    slopes = lutf[:, 1:] - lutf[:, :-1]           # (C, n-1)
+    coef = np.concatenate([slopes[:, :1],
+                           slopes[:, 1:] - slopes[:, :-1]], axis=1)
     ind = jnp.clip((logL - x0) * scale, 0.0, float(n - 1))
-    i0 = jnp.floor(ind)
-    frc = ind - i0
-    vals = []
-    for c in range(luts.shape[0]):
-        acc = None
-        for k in range(n - 1):
-            v0 = float(luts[c, k])
-            v1 = float(luts[c, k + 1])
-            seg = v0 + frc * (v1 - v0)
-            term = jnp.where(i0 == float(k), seg, 0.0)
-            acc = term if acc is None else acc + term
-        acc = acc + jnp.where(i0 == float(n - 1), float(luts[c, n - 1]), 0.0)
-        vals.append(acc)
-    return vals
+    acc = [jnp.full_like(ind, float(lutf[c, 0])) for c in range(C)]
+    for k in range(n - 1):
+        r = jnp.maximum(ind - float(k), 0.0)
+        for c in range(C):
+            acc[c] = acc[c] + float(coef[c, k]) * r
+    return acc
 
 
 def _kernel_a(T_ref, R_ref, logL_ref, mpre_ref, diff_ref, *, luts, x0, scale,
@@ -95,6 +98,180 @@ def _kernel_b(m_ref, diff_ref, d_ref, *, qs, p, xcm, max_v):
             mix = term if mix is None else mix + term
         du = ((diff_ref[d] + _EPS) ** float(p) - _EPS ** float(p)) / (1.0 + mix)
         d_ref[d] = max_v * du / (max_v + du)
+
+
+def _blur_b_kernel(m_hbm, diff_ref, d_ref, scratch, sem, *, taps, scale,
+                   qs, p, xcm, max_v, C, th, H, W, nT):
+    """Fused phase-uncertainty blur + masking transducer: one halo'd read of
+    M_pre per tile (manual DMA, same slab scheme as kernels/blur_halo.py),
+    both blur passes + reflect corrections, the 10^mask_c scale, safe_pow,
+    cross-channel mixing and the soft clamp in VMEM. Removes the blurred-M
+    HBM materialisation between kernels A and B."""
+    l = pl.program_id(0)
+    i = pl.program_id(1)
+    ks = len(taps)
+    r = (ks - 1) // 2
+    LS = th + 16
+
+    @pl.when(i == 0)
+    def _():
+        for c in range(C):
+            scratch[c, 0:8, :] = jnp.zeros((8, W), jnp.float32)
+            cp = pltpu.make_async_copy(
+                m_hbm.at[c, l, pl.ds(0, th + 8), :],
+                scratch.at[c, pl.ds(8, th + 8), :], sem,
+            )
+            cp.start()
+            cp.wait()
+
+    r0_last = (nT - 1) * th
+    base_l = r0_last - 8
+    size_l = H - base_l
+
+    @pl.when(i == nT - 1)
+    def _():
+        for c in range(C):
+            cp = pltpu.make_async_copy(
+                m_hbm.at[c, l, pl.ds(base_l, size_l), :],
+                scratch.at[c, pl.ds(0, size_l), :], sem,
+            )
+            cp.start()
+            cp.wait()
+            scratch[c, pl.ds(size_l, 8), :] = jnp.zeros((8, W), jnp.float32)
+
+    if nT > 2:
+
+        @pl.when(jnp.logical_and(i > 0, i < nT - 1))
+        def _():
+            for c in range(C):
+                base = pl.multiple_of(i * th - 8, 8)
+                cp = pltpu.make_async_copy(
+                    m_hbm.at[c, l, pl.ds(base, LS), :],
+                    scratch.at[c, pl.ds(0, LS), :], sem,
+                )
+                cp.start()
+                cp.wait()
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (th, 1), 0)
+    # Accumulate the cross-channel mix while looping channels, so only the
+    # C mix accumulators stay live across channels — each channel's blur
+    # temporaries are freed before the next channel starts (the per-channel
+    # mq list kept C extra full tiles live and blew scoped vmem at 4K).
+    mix = [None] * C
+    for c in range(C):
+        yv = None
+        for t in range(ks):
+            term = float(taps[t]) * scratch[c, pl.ds(t + 8 - r, th), :]
+            yv = term if yv is None else yv + term
+        for g in range(min(r, th)):
+            corr = None
+            for t in range(r - g):
+                term = float(taps[t]) * scratch[c, r - g - t + 8, :]
+                corr = term if corr is None else corr + term
+            if corr is not None:
+                yv = jnp.where((row == g) & (i == 0), yv + corr[None, :], yv)
+        for dg in range(r):
+            gr = H - r + dg
+            rl = gr - r0_last
+            if rl < 0 or rl >= th:
+                continue
+            corr = None
+            for t in range(ks):
+                src = gr + t - r
+                if src > H - 1:
+                    refl = 2 * (H - 1) - src
+                    term = float(taps[t]) * scratch[c, refl - base_l, :]
+                    corr = term if corr is None else corr + term
+            if corr is not None:
+                yv = jnp.where((row == rl) & (i == nT - 1),
+                               yv + corr[None, :], yv)
+        left = [yv[:, cc:cc + 1] for cc in range(r, 0, -1)]
+        right = [yv[:, W - 1 - cc:W - cc] for cc in range(1, r + 1)]
+        xp = jnp.concatenate(left + [yv] + right, axis=1)
+        yh = None
+        for t in range(ks):
+            term = float(taps[t]) * xp[:, t:t + W]
+            yh = term if yh is None else yh + term
+        m_b = yh * float(scale)
+        q = float(qs[c])
+        mq_c = (jnp.abs(m_b) + _EPS) ** q - _EPS ** q
+        for d in range(C):
+            term = float(xcm[c, d]) * mq_c
+            mix[d] = term if mix[d] is None else mix[d] + term
+
+    for d in range(C):
+        du = ((diff_ref[d, 0] + _EPS) ** float(p) - _EPS ** float(p)) \
+            / (1.0 + mix[d])
+        d_ref[d, 0] = max_v * du / (max_v + du)
+
+
+def _use_blur_transducer(params, C, H, W, mesh) -> bool:
+    """Whether the fused blur+transducer kernel replaces the blur_fn +
+    kernel-B pair: single-device traces only (its halo DMA would cross
+    shard boundaries), blur actually applicable (phase_uncertainty's
+    shape-based skip), and the tile geometry supported."""
+    return (
+        mesh is None
+        and params.pu_dilate != 0
+        and H > params.pu_padsize and W > params.pu_padsize
+        and can_blur_transducer(C, H, W, params.pu_kernel_size)
+    )
+
+
+def can_blur_transducer(C, H, W, kernel_size: int) -> bool:
+    if kernel_size % 2 != 1 or (kernel_size - 1) // 2 > 8:
+        return False
+    if not (H % 8 == 0 and 256 <= W <= 8192):
+        return False
+    th = _bt_tile(C, H, W)
+    if th < (kernel_size - 1) // 2 + 2 or H < th + 8:
+        return False
+    return -(-H // th) >= 2
+
+
+def _bt_tile(C, H, W):
+    # Empirical scoped-vmem model (measured on v5e at th=24, W=3840:
+    # 21.61 MB => ~59 live (th, W) fp32 tile-rows — Mosaic does not free
+    # the per-channel tap terms between channels). Target 14 MB of the
+    # 16 MB limit.
+    live_planes = 13 * C + 7
+    th = (14 * 1024 * 1024) // (live_planes * W * 4) // 8 * 8
+    th = max(8, min(128, th))
+    return min(th, max(8, (H // 2) // 8 * 8))
+
+
+def fused_blur_transducer(m_pre, diff, taps, scale, qs, p: float,
+                          xcm: np.ndarray, max_v: float, interpret=None):
+    """(C, L, H, W) M_pre (pre-blur) + diff -> D, with the phase-uncertainty
+    blur applied to M in-kernel."""
+    C, L, H, W = m_pre.shape
+    th = _bt_tile(C, H, W)
+    nT = -(-H // th)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    kern = functools.partial(
+        _blur_b_kernel, taps=tuple(float(t) for t in taps),
+        scale=float(scale), qs=tuple(float(q) for q in qs), p=float(p),
+        xcm=np.asarray(xcm, np.float32), max_v=float(max_v), C=C, th=th,
+        H=H, W=W, nT=nT,
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(L, nT),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((C, 1, th, W), lambda l, i: (0, l, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((C, 1, th, W), lambda l, i: (0, l, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C, L, H, W), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((C, th + 16, W), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(m_pre, diff)
 
 
 def _grid_specs(C, L, H, W, n_buffers):
@@ -262,10 +439,20 @@ def make_fused_mult_mutual_raw(luts: np.ndarray, x0: float, x1: float,
         gi4 = jnp.transpose(gi, (1, 0, 2, 3, 4)).reshape(C2, B * F, H, W)
         E4 = jnp.transpose(E, (1, 0, 2, 3, 4)).reshape(C2, B * F, H, W)
         m_pre, diff = a_call(gi4, E4)
-        m5 = m_pre.reshape(C, B, F, H, W).transpose(1, 0, 2, 3, 4)
-        m_blur = blur_fn(m5)
-        m4 = jnp.transpose(m_blur, (1, 0, 2, 3, 4)).reshape(C, B * F, H, W)
-        D = b_call(m4, diff)
+        if _use_blur_transducer(params, C, H, W, mesh):
+            from ..blur import gaussian_kernel1d
+
+            taps = gaussian_kernel1d(params.pu_kernel_size,
+                                     params.pu_dilate)
+            D = fused_blur_transducer(m_pre, diff, taps,
+                                      10.0 ** params.mask_c, qs,
+                                      params.mask_p, xcm, max_v)
+        else:
+            m5 = m_pre.reshape(C, B, F, H, W).transpose(1, 0, 2, 3, 4)
+            m_blur = blur_fn(m5)
+            m4 = jnp.transpose(m_blur,
+                               (1, 0, 2, 3, 4)).reshape(C, B * F, H, W)
+            D = b_call(m4, diff)
         return D.reshape(C, B, F, H, W).transpose(1, 0, 2, 3, 4)
 
     @jax.custom_vjp
@@ -347,10 +534,20 @@ def make_fused_mult_mutual(luts: np.ndarray, x0: float, x1: float, gains,
         R4 = jnp.transpose(R, (1, 0, 2, 3, 4)).reshape(Cc, B * F, H, W)
         L3 = logL.reshape(B * F, H, W)
         m_pre, diff = a_call(T4, R4, L3)
-        m5 = m_pre.reshape(Cc, B, F, H, W).transpose(1, 0, 2, 3, 4)
-        m_blur = blur_fn(m5)
-        m4 = jnp.transpose(m_blur, (1, 0, 2, 3, 4)).reshape(Cc, B * F, H, W)
-        D = b_call(m4, diff)
+        if _use_blur_transducer(params, Cc, H, W, mesh):
+            from ..blur import gaussian_kernel1d
+
+            taps = gaussian_kernel1d(params.pu_kernel_size,
+                                     params.pu_dilate)
+            D = fused_blur_transducer(m_pre, diff, taps,
+                                      10.0 ** params.mask_c, qs,
+                                      params.mask_p, xcm, max_v)
+        else:
+            m5 = m_pre.reshape(Cc, B, F, H, W).transpose(1, 0, 2, 3, 4)
+            m_blur = blur_fn(m5)
+            m4 = jnp.transpose(m_blur,
+                               (1, 0, 2, 3, 4)).reshape(Cc, B * F, H, W)
+            D = b_call(m4, diff)
         return D.reshape(Cc, B, F, H, W).transpose(1, 0, 2, 3, 4)
 
     @jax.custom_vjp

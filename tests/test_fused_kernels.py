@@ -98,3 +98,40 @@ def test_odd_resolution_video_force_fused():
     Q1, _ = m1.predict(V_test, V_ref, dim_order="HWCF",
                        frames_per_second=fps)
     assert abs(float(Q0) - float(Q1)) < 1e-4, (float(Q0), float(Q1))
+
+
+def test_blur_transducer_kernel_matches_chain():
+    """Fused blur+transducer vs the separate blur -> kernel-B math."""
+    from colorvideovdp_tpu.ops import blur as bl
+    from colorvideovdp_tpu.ops.kernels.masking_fused import (
+        _EPS,
+        can_blur_transducer,
+        fused_blur_transducer,
+    )
+
+    rng = np.random.RandomState(21)
+    C, L, H, W = 4, 2, 96, 512
+    ks, sigma = 13, 3.0
+    assert can_blur_transducer(C, H, W, ks)
+    m_pre = rng.rand(C, L, H, W).astype(np.float32) * 2.0
+    diff = rng.rand(C, L, H, W).astype(np.float32) * 3.0
+    qs = np.array([0.7, 0.9, 1.1, 0.8], np.float32)
+    p, max_v, scale = 2.3, 300.0, 0.16
+    xcm = rng.rand(4, 4).astype(np.float32)
+
+    k = bl.gaussian_kernel1d(ks, sigma)
+    m_b = np.asarray(bl._blur_1d(bl._blur_1d(jnp.asarray(m_pre), k, -2),
+                                 k, -1)) * scale
+    mq = [(np.abs(m_b[c]) + _EPS) ** qs[c] - _EPS ** qs[c]
+          for c in range(C)]
+    D_ref = np.empty_like(diff)
+    for d in range(C):
+        mix = sum(float(xcm[c, d]) * mq[c] for c in range(C))
+        du = ((diff[d] + _EPS) ** p - _EPS ** p) / (1.0 + mix)
+        D_ref[d] = max_v * du / (max_v + du)
+
+    D_k = np.asarray(fused_blur_transducer(
+        jnp.asarray(m_pre), jnp.asarray(diff), k, scale, qs, p, xcm,
+        max_v, interpret=True,
+    ))
+    assert np.abs(D_ref - D_k).max() < 1e-4
