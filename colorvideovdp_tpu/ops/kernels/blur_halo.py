@@ -24,6 +24,60 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def apply_blur_tile(sl, i, nT, taps, th, H, W):
+    """Both separable blur passes + reflect corrections for one (th, W)
+    tile. ``sl(start, size)`` reads rows from the 8-row-lead-in halo slab
+    (scratch[idx] = x[r0 - 8 + idx]); ``i`` is the row-tile grid index.
+    Shared by the standalone blur kernel below and the fused
+    blur+transducer kernel (masking_fused._blur_b_kernel)."""
+    ks = len(taps)
+    r = (ks - 1) // 2
+    r0_last = (nT - 1) * th
+    base_l = r0_last - 8
+
+    yv = None
+    for t in range(ks):
+        term = float(taps[t]) * sl(t + 8 - r, th)
+        yv = term if yv is None else yv + term
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (th, 1), 0)
+    # Top edge (tile 0): taps reaching x[g + t - r < 0] found zeros; add
+    # the reflected k[t] * x[r - g - t].
+    for g in range(min(r, th)):
+        corr = None
+        for t in range(r - g):
+            term = float(taps[t]) * sl(r - g - t + 8, 1)[0]
+            corr = term if corr is None else corr + term
+        if corr is not None:
+            yv = jnp.where((row == g) & (i == 0), yv + corr[None, :], yv)
+    # Bottom edge (last tile): taps past H - 1 reflect to 2(H-1) - src.
+    for dg in range(r):
+        gr = H - r + dg
+        rl = gr - r0_last
+        if rl < 0 or rl >= th:
+            continue
+        corr = None
+        for t in range(ks):
+            src = gr + t - r
+            if src > H - 1:
+                refl = 2 * (H - 1) - src
+                term = float(taps[t]) * sl(refl - base_l, 1)[0]
+                corr = term if corr is None else corr + term
+        if corr is not None:
+            yv = jnp.where((row == rl) & (i == nT - 1), yv + corr[None, :],
+                           yv)
+
+    # Horizontal pass: reflect pad via single-column concats.
+    left = [yv[:, c:c + 1] for c in range(r, 0, -1)]
+    right = [yv[:, W - 1 - c:W - c] for c in range(1, r + 1)]
+    xp = jnp.concatenate(left + [yv] + right, axis=1)
+    yh = None
+    for t in range(ks):
+        term = float(taps[t]) * xp[:, t:t + W]
+        yh = term if yh is None else yh + term
+    return yh
+
+
 def _blur_kernel(x_hbm, out_ref, scratch, sem, *, taps, th, H, W, nT):
     p = pl.program_id(0)
     i = pl.program_id(1)
@@ -69,51 +123,9 @@ def _blur_kernel(x_hbm, out_ref, scratch, sem, *, taps, th, H, W, nT):
             cp.start()
             cp.wait()
 
-    # --- vertical pass: yv[rl] = sum_t k[t] * scratch[rl + t + (8 - r)] ---
-    yv = None
-    for t in range(ks):
-        term = float(taps[t]) * scratch[pl.ds(t + 8 - r, th), :]
-        yv = term if yv is None else yv + term
-
-    row = jax.lax.broadcasted_iota(jnp.int32, (th, 1), 0)
-
-    # Reflect corrections, top edge (tile 0 only): for output row g < r the
-    # taps reaching g + t - r < 0 found zeros; add k[t] * x[r - g - t]
-    # (x[row] lives at scratch[row + 8]).
-    for g in range(min(r, th)):
-        corr = None
-        for t in range(r - g):
-            term = float(taps[t]) * scratch[r - g - t + 8, :]
-            corr = term if corr is None else corr + term
-        if corr is not None:
-            yv = jnp.where((row == g) & (i == 0), yv + corr[None, :], yv)
-
-    # Bottom edge (last tile): taps past H - 1 reflect to 2(H-1) - (g+t-r).
-    for dg in range(r):
-        g = H - r + dg  # global output row
-        rl = g - r0_last  # row within the last tile (static)
-        if rl < 0 or rl >= th:
-            continue
-        corr = None
-        for t in range(ks):
-            src = g + t - r
-            if src > H - 1:
-                refl = 2 * (H - 1) - src
-                term = float(taps[t]) * scratch[refl - base_l, :]
-                corr = term if corr is None else corr + term
-        if corr is not None:
-            yv = jnp.where((row == rl) & (i == nT - 1), yv + corr[None, :],
-                           yv)
-
-    # --- horizontal pass: reflect pad via single-column concats ----------
-    left = [yv[:, c:c + 1] for c in range(r, 0, -1)]
-    right = [yv[:, W - 1 - c:W - c] for c in range(1, r + 1)]
-    xp = jnp.concatenate(left + [yv] + right, axis=1)
-    yh = None
-    for t in range(ks):
-        term = float(taps[t]) * xp[:, t:t + W]
-        yh = term if yh is None else yh + term
-    out_ref[0] = yh
+    out_ref[0] = apply_blur_tile(
+        lambda s, n: scratch[pl.ds(s, n), :], i, nT, taps, th, H, W
+    )
 
 
 def blur_tpu(x, taps: np.ndarray, interpret=None):

@@ -152,46 +152,17 @@ def _blur_b_kernel(m_hbm, diff_ref, d_ref, scratch, sem, *, taps, scale,
                 cp.start()
                 cp.wait()
 
-    row = jax.lax.broadcasted_iota(jnp.int32, (th, 1), 0)
-    # Accumulate the cross-channel mix while looping channels, so only the
-    # C mix accumulators stay live across channels — each channel's blur
-    # temporaries are freed before the next channel starts (the per-channel
-    # mq list kept C extra full tiles live and blew scoped vmem at 4K).
+    from .blur_halo import apply_blur_tile
+
+    # Accumulate the cross-channel mix while looping channels: only the C
+    # mix accumulators stay live across channels (a per-channel mq list
+    # kept C extra full tiles live and blew scoped vmem at 4K).
     mix = [None] * C
     for c in range(C):
-        yv = None
-        for t in range(ks):
-            term = float(taps[t]) * scratch[c, pl.ds(t + 8 - r, th), :]
-            yv = term if yv is None else yv + term
-        for g in range(min(r, th)):
-            corr = None
-            for t in range(r - g):
-                term = float(taps[t]) * scratch[c, r - g - t + 8, :]
-                corr = term if corr is None else corr + term
-            if corr is not None:
-                yv = jnp.where((row == g) & (i == 0), yv + corr[None, :], yv)
-        for dg in range(r):
-            gr = H - r + dg
-            rl = gr - r0_last
-            if rl < 0 or rl >= th:
-                continue
-            corr = None
-            for t in range(ks):
-                src = gr + t - r
-                if src > H - 1:
-                    refl = 2 * (H - 1) - src
-                    term = float(taps[t]) * scratch[c, refl - base_l, :]
-                    corr = term if corr is None else corr + term
-            if corr is not None:
-                yv = jnp.where((row == rl) & (i == nT - 1),
-                               yv + corr[None, :], yv)
-        left = [yv[:, cc:cc + 1] for cc in range(r, 0, -1)]
-        right = [yv[:, W - 1 - cc:W - cc] for cc in range(1, r + 1)]
-        xp = jnp.concatenate(left + [yv] + right, axis=1)
-        yh = None
-        for t in range(ks):
-            term = float(taps[t]) * xp[:, t:t + W]
-            yh = term if yh is None else yh + term
+        yh = apply_blur_tile(
+            lambda s, n, _c=c: scratch[_c, pl.ds(s, n), :], i, nT, taps,
+            th, H, W,
+        )
         m_b = yh * float(scale)
         q = float(qs[c])
         mq_c = (jnp.abs(m_b) + _EPS) ** q - _EPS ** q
