@@ -51,6 +51,10 @@ def parse_args(argv=None):
     p.add_argument("--worker", default=None,
                    help="k/N row sharding (0-based k); defaults to the JAX "
                         "distributed process spec when present")
+    p.add_argument("--temp-padding", default="symmetric",
+                   choices=["replicate", "symmetric", "valid"],
+                   help="temporal padding (the reference CLI's default is "
+                        "symmetric; the metric ctor's is replicate)")
     p.add_argument("--resume", action="store_true",
                    help="skip rows already present in this worker's shard")
     p.add_argument("--nshards", type=int, default=None,
@@ -144,7 +148,12 @@ def main(argv=None):
             continue
         display = row.get("display") or args.display
         if display not in metrics:
-            metrics[display] = met_cls(display_name=display, quiet=True)
+            kw_m = dict(display_name=display, quiet=True)
+            try:
+                metrics[display] = met_cls(temp_padding=args.temp_padding,
+                                           **kw_m)
+            except TypeError:  # metric without a temp_padding arg
+                metrics[display] = met_cls(**kw_m)
         m = metrics[display]
         kw = {}
         fps = float(row.get("fps") or args.fps or 0)
