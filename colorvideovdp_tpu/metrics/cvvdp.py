@@ -942,11 +942,20 @@ class cvvdp(vq_metric):
                         make_fused_mult_mutual_raw,
                     )
 
+                    # Without a heatmap/dump consumer the spatial pooling
+                    # fuses into the kernel too: the band's D tensor never
+                    # reaches HBM.
+                    pool = (None if (self.do_heatmap or dump_D is not None)
+                            else float(self.beta))
                     lut_rows, x0, x1, gains = _lut_rows()
                     fused = make_fused_mult_mutual_raw(
                         lut_rows, x0, x1, gains, sens_corr, params, blur_fn,
                         self.contrast.endswith("ref"), mul_band, mesh=mesh,
+                        pool_beta=pool,
                     )
+                    if pool is not None:
+                        Q_cols.append(fused(gi_b, E_b))
+                        continue
                     D = fused(gi_b, E_b)
                     T_f = None  # tiny/unshardable bands never take this route
                 else:

@@ -101,7 +101,7 @@ def _kernel_b(m_ref, diff_ref, d_ref, *, qs, p, xcm, max_v):
 
 
 def _blur_b_kernel(m_hbm, diff_ref, d_ref, scratch, sem, *, taps, scale,
-                   qs, p, xcm, max_v, C, th, H, W, nT):
+                   qs, p, xcm, max_v, C, th, H, W, nT, pool_beta=None):
     """Fused phase-uncertainty blur + masking transducer: one halo'd read of
     M_pre per tile (manual DMA, same slab scheme as kernels/blur_halo.py),
     both blur passes + reflect corrections, the 10^mask_c scale, safe_pow,
@@ -170,10 +170,40 @@ def _blur_b_kernel(m_hbm, diff_ref, d_ref, scratch, sem, *, taps, scale,
             term = float(xcm[c, d]) * mq_c
             mix[d] = term if mix[d] is None else mix[d] + term
 
+    if pool_beta is None:
+        for d in range(C):
+            du = ((diff_ref[d, 0] + _EPS) ** float(p) - _EPS ** float(p)) \
+                / (1.0 + mix[d])
+            d_ref[d, 0] = max_v * du / (max_v + du)
+        return
+
+    # Fused spatial pooling: accumulate sum(safe_pow(D, beta)) per channel
+    # across row tiles — D itself never reaches HBM (heatmap-off path).
+    # The (C, L) output is below Pallas's tile granularity, so the whole
+    # array stays VMEM-resident (index map constant) and each grid step
+    # adds its tile sum through a (row, lane) mask.
+    @pl.when(jnp.logical_and(l == 0, i == 0))
+    def _():
+        d_ref[...] = jnp.zeros_like(d_ref)
+
+    # safe_pow with the same static-exponent multiply chains as
+    # ops.masking._pow_static — the transcendental pow path's ~1e-4
+    # relative error visibly biases pooling sums at beta=2.
+    from ..masking import _pow_static
+
+    b = float(pool_beta)
+    L = d_ref.shape[1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (th, W), 0)
+    valid = (i * th + rows) < H  # mask the padded rows of the last tile
+    crow = jax.lax.broadcasted_iota(jnp.int32, (C, L), 0)
+    clane = jax.lax.broadcasted_iota(jnp.int32, (C, L), 1)
     for d in range(C):
         du = ((diff_ref[d, 0] + _EPS) ** float(p) - _EPS ** float(p)) \
             / (1.0 + mix[d])
-        d_ref[d, 0] = max_v * du / (max_v + du)
+        Dv = max_v * du / (max_v + du)
+        sp = _pow_static(Dv + _EPS, b) - _EPS ** b
+        s_d = jnp.sum(jnp.where(valid, sp, 0.0))
+        d_ref[...] += jnp.where((crow == d) & (clane == l), s_d, 0.0)
 
 
 def _use_blur_transducer(params, C, H, W, mesh) -> bool:
@@ -212,9 +242,12 @@ def _bt_tile(C, H, W):
 
 
 def fused_blur_transducer(m_pre, diff, taps, scale, qs, p: float,
-                          xcm: np.ndarray, max_v: float, interpret=None):
+                          xcm: np.ndarray, max_v: float, pool_beta=None,
+                          interpret=None):
     """(C, L, H, W) M_pre (pre-blur) + diff -> D, with the phase-uncertainty
-    blur applied to M in-kernel."""
+    blur applied to M in-kernel. With ``pool_beta`` the spatial pooling sum
+    is fused too and the result is (C, L) per-plane sum(safe_pow(D, beta))
+    — D itself never reaches HBM."""
     C, L, H, W = m_pre.shape
     th = _bt_tile(C, H, W)
     nT = -(-H // th)
@@ -225,7 +258,16 @@ def fused_blur_transducer(m_pre, diff, taps, scale, qs, p: float,
         scale=float(scale), qs=tuple(float(q) for q in qs), p=float(p),
         xcm=np.asarray(xcm, np.float32), max_v=float(max_v), C=C, th=th,
         H=H, W=W, nT=nT,
+        pool_beta=None if pool_beta is None else float(pool_beta),
     )
+    if pool_beta is None:
+        out_specs = pl.BlockSpec((C, 1, th, W), lambda l, i: (0, l, i, 0),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((C, L, H, W), jnp.float32)
+    else:
+        out_specs = pl.BlockSpec((C, L), lambda l, i: (0, 0),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((C, L), jnp.float32)
     return pl.pallas_call(
         kern,
         grid=(L, nT),
@@ -234,9 +276,8 @@ def fused_blur_transducer(m_pre, diff, taps, scale, qs, p: float,
             pl.BlockSpec((C, 1, th, W), lambda l, i: (0, l, i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((C, 1, th, W), lambda l, i: (0, l, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((C, L, H, W), jnp.float32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((C, th + 16, W), jnp.float32),
             pltpu.SemaphoreType.DMA,
@@ -347,11 +388,14 @@ _FUSED_CACHE: dict = {}
 
 def make_fused_mult_mutual_raw(luts: np.ndarray, x0: float, x1: float,
                                gains, sens_corr: float, params, blur_fn,
-                               ref_only: bool, mul: float, mesh=None):
+                               ref_only: bool, mul: float, mesh=None,
+                               pool_beta=None):
     """Raw-band variant of ``make_fused_mult_mutual``: takes the Gaussian
     level ``gi`` (B, 2C, F, H, W, T/R interleaved) and the expanded next
     level ``E`` (same shape) and performs the Weber contrast coding
-    in-kernel. Returns fn(gi, E) -> D (B, C, F, H, W).
+    in-kernel. Returns fn(gi, E) -> D (B, C, F, H, W), or — with
+    ``pool_beta`` — the spatially pooled lp_norm (B, C, F), in which case
+    D is never materialised on the fast path.
 
     With ``mesh`` both kernels run per shard via shard_map over the H axis
     (elementwise over rows — no collectives); the blur between them stays
@@ -385,7 +429,11 @@ def make_fused_mult_mutual_raw(luts: np.ndarray, x0: float, x1: float,
         else:
             S = _cl.csf_lut_lookup(logL, luts, x0, x1)
         S = jnp.moveaxis(S, 0, 1) * float(sens_corr)
-        return mk.apply_masking_model(T, R, S, params)
+        D = mk.apply_masking_model(T, R, S, params)
+        if pool_beta is not None:
+            return mk.lp_norm(D, pool_beta, dim=(-2, -1), normalize=True,
+                              keepdim=False)
+        return D
 
     def a_call(gi4, E4):
         return fused_csf_contrast_raw(gi4, E4, luts, x0, x1, g, ref_only,
@@ -406,6 +454,8 @@ def make_fused_mult_mutual_raw(luts: np.ndarray, x0: float, x1: float,
                            out_specs=s4, check_rep=False)
 
     def fwd_impl(gi, E):
+        from .. import masking as mk
+
         B, C2, F, H, W = gi.shape
         gi4 = jnp.transpose(gi, (1, 0, 2, 3, 4)).reshape(C2, B * F, H, W)
         E4 = jnp.transpose(E, (1, 0, 2, 3, 4)).reshape(C2, B * F, H, W)
@@ -415,16 +465,27 @@ def make_fused_mult_mutual_raw(luts: np.ndarray, x0: float, x1: float,
 
             taps = gaussian_kernel1d(params.pu_kernel_size,
                                      params.pu_dilate)
-            D = fused_blur_transducer(m_pre, diff, taps,
-                                      10.0 ** params.mask_c, qs,
-                                      params.mask_p, xcm, max_v)
+            out = fused_blur_transducer(m_pre, diff, taps,
+                                        10.0 ** params.mask_c, qs,
+                                        params.mask_p, xcm, max_v,
+                                        pool_beta=pool_beta)
+            if pool_beta is not None:
+                # lp_norm tail: safe_pow(sum / N, 1/beta), matching
+                # ops.masking.lp_norm exactly.
+                s = out.reshape(C, B, F).transpose(1, 0, 2) / float(H * W)
+                return mk._safe_pow_static(s, 1.0 / float(pool_beta))
+            D = out
         else:
             m5 = m_pre.reshape(C, B, F, H, W).transpose(1, 0, 2, 3, 4)
             m_blur = blur_fn(m5)
             m4 = jnp.transpose(m_blur,
                                (1, 0, 2, 3, 4)).reshape(C, B * F, H, W)
             D = b_call(m4, diff)
-        return D.reshape(C, B, F, H, W).transpose(1, 0, 2, 3, 4)
+        D = D.reshape(C, B, F, H, W).transpose(1, 0, 2, 3, 4)
+        if pool_beta is not None:
+            return mk.lp_norm(D, pool_beta, dim=(-2, -1), normalize=True,
+                              keepdim=False)
+        return D
 
     @jax.custom_vjp
     def fused(gi, E):

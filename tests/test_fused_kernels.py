@@ -135,3 +135,35 @@ def test_blur_transducer_kernel_matches_chain():
         max_v, interpret=True,
     ))
     assert np.abs(D_ref - D_k).max() < 1e-4
+
+
+def test_blur_transducer_pooled_matches_lp_norm():
+    """pool_beta fuses sum(safe_pow(D, beta)) into the kernel; must equal
+    lp_norm of the unpooled D to fp32 reassociation tolerance."""
+    from colorvideovdp_tpu.ops import masking as mk
+    from colorvideovdp_tpu.ops import blur as bl
+    from colorvideovdp_tpu.ops.kernels.masking_fused import (
+        fused_blur_transducer,
+    )
+
+    rng = np.random.RandomState(22)
+    C, L, H, W = 4, 2, 88, 384  # H not divisible by the tile: masks matter
+    ks, sigma, beta = 13, 3.0, 2.0
+    m_pre = rng.rand(C, L, H, W).astype(np.float32)
+    diff = rng.rand(C, L, H, W).astype(np.float32) * 3.0
+    qs = np.array([0.7, 0.9, 1.1, 0.8], np.float32)
+    p, max_v, scale = 2.3, 300.0, 0.16
+    xcm = rng.rand(4, 4).astype(np.float32)
+    k = bl.gaussian_kernel1d(ks, sigma)
+
+    D = np.asarray(fused_blur_transducer(
+        jnp.asarray(m_pre), jnp.asarray(diff), k, scale, qs, p, xcm, max_v,
+        interpret=True))
+    want = np.asarray(mk.lp_norm(jnp.asarray(D), beta, dim=(-2, -1),
+                                 normalize=True, keepdim=False))
+    sums = np.asarray(fused_blur_transducer(
+        jnp.asarray(m_pre), jnp.asarray(diff), k, scale, qs, p, xcm, max_v,
+        pool_beta=beta, interpret=True))
+    got = np.asarray(mk._safe_pow_static(
+        jnp.asarray(sums / (H * W)), 1.0 / beta))
+    assert np.abs(want - got).max() < 1e-5
