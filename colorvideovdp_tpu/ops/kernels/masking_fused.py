@@ -383,9 +383,6 @@ def fused_masking_transducer(M, diff, qs, p: float, xcm: np.ndarray,
     )(M, diff)
 
 
-_FUSED_CACHE: dict = {}
-
-
 def make_fused_mult_mutual_raw(luts: np.ndarray, x0: float, x1: float,
                                gains, sens_corr: float, params, blur_fn,
                                ref_only: bool, mul: float, mesh=None,

@@ -167,3 +167,29 @@ def test_blur_transducer_pooled_matches_lp_norm():
     got = np.asarray(mk._safe_pow_static(
         jnp.asarray(sums / (H * W)), 1.0 / beta))
     assert np.abs(want - got).max() < 1e-5
+
+
+def test_loss_gradient_fused_matches_xla():
+    """The raw/pooled fused kernels carry custom VJPs (backward recomputes
+    through jnp); loss value and gradient must match the pure-XLA path."""
+    import jax
+
+    rng = np.random.RandomState(17)
+    H, W = 48, 128
+    ref = rng.rand(1, 3, 1, H, W).astype(np.float32)
+    test = np.clip(ref + rng.randn(*ref.shape).astype(np.float32) * 0.1,
+                   0, 1)
+
+    m0 = cv.cvvdp(display_name="standard_4k", quiet=True)
+    f0 = m0.get_loss_fn(H, W)
+    v0, g0 = jax.value_and_grad(f0)(jnp.asarray(test), jnp.asarray(ref))
+
+    m1 = cv.cvvdp(display_name="standard_4k", quiet=True)
+    m1.force_fused = True
+    f1 = m1.get_loss_fn(H, W)
+    v1, g1 = jax.value_and_grad(f1)(jnp.asarray(test), jnp.asarray(ref))
+
+    assert abs(float(v0) - float(v1)) < 1e-4, (float(v0), float(v1))
+    g0, g1 = np.asarray(g0), np.asarray(g1)
+    denom = np.abs(g0).max()
+    assert denom > 0 and np.abs(g0 - g1).max() / denom < 1e-3
