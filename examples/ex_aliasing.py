@@ -4,6 +4,11 @@ Run from the repository root:  python examples/ex_aliasing.py"""
 import os
 import time
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root (when not pip-installed)
+
 import colorvideovdp_tpu as cvvdp
 from colorvideovdp_tpu.io.video_source_file import video_source_file
 

@@ -14,6 +14,11 @@ import os
 import numpy as np
 from scipy.ndimage import convolve1d
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root (when not pip-installed)
+
 import colorvideovdp_tpu as cvvdp
 from colorvideovdp_tpu.io.video_source_file import load_image_as_array
 from colorvideovdp_tpu.metrics.psnr import psnr_rgb

@@ -10,6 +10,11 @@ import time
 
 import numpy as np
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root (when not pip-installed)
+
 import colorvideovdp_tpu as cvvdp
 import ex_utils as utils
 from colorvideovdp_tpu.io.video_source_file import load_image_as_array

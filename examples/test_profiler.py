@@ -12,6 +12,11 @@ import time
 import jax
 import numpy as np
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root (when not pip-installed)
+
 import colorvideovdp_tpu as cvvdp
 from colorvideovdp_tpu.io.video_source import video_source_array
 from colorvideovdp_tpu.io.video_source_file import video_source_file
