@@ -48,7 +48,8 @@ def gaussian_blur(x, kernel_size: int, sigma: float):
     # path (the shifted slices shard cleanly with halo exchanges).
     from . import pyramid as _pyr
 
-    if not _pyr.FORCE_XLA and jax.default_backend() == "tpu":
+    if (not _pyr.FORCE_XLA
+            and (jax.default_backend() == "tpu" or _pyr.FORCE_KERNEL)):
         from .kernels.blur_halo import can_blur_tpu
 
         if can_blur_tpu(x.shape, kernel_size):

@@ -29,10 +29,6 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# EOTFs the in-kernel display model supports ("gamma" covers numeric
-# strings like "2.2").
-_SUPPORTED_EOTFS = ("sRGB", "PQ", "linear", "HLG", "gamma")
-
 _PQ_LMAX = 10000.0
 _PQ_N = 0.15930175781250000
 _PQ_M = 78.843750000000000
@@ -193,7 +189,7 @@ def _rgb2dkl(dm):
     )
 
 
-def _ingest_kernel(*refs, fl, blk, n_head, src_dtype, disp, M, filt,
+def _ingest_kernel(*refs, fl, blk, src_dtype, disp, M, filt,
                    first_mode):
     """One row tile: convert every used frame plane once, FIR, interleave.
 
@@ -318,7 +314,7 @@ def make_ingest_fn(dm, src_dtype, shape, filt, fl, first_mode,
         in_specs = [tail_spec(), tail_spec(), raw_spec(), raw_spec()]
 
     kern = functools.partial(
-        _ingest_kernel, fl=fl, blk=blk, n_head=fl - 1,
+        _ingest_kernel, fl=fl, blk=blk,
         src_dtype=np.dtype(src_dtype), disp=disp, M=M, filt=filt,
         first_mode=first_mode,
     )

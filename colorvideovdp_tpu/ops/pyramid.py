@@ -114,6 +114,44 @@ def _reduce_1d(x, axis: int, odd_correction: bool):
 # When True (sharded traces), skip the Pallas reduce kernel — GSPMD cannot
 # partition custom calls; the XLA path shards with halo exchanges instead.
 FORCE_XLA = False
+# When True, take the Pallas kernel paths even off-TPU (interpret mode) —
+# lets the CPU test suite cover the kernels' custom VJPs.
+FORCE_KERNEL = False
+
+
+def _xla_reduce(x):
+    rows_odd = (x.shape[-2] % 2) == 1
+    y = _reduce_1d(x, -2, odd_correction=rows_odd)
+    # NOTE: the horizontal pass keys its correction on the ROW count parity —
+    # reference quirk (lpyr_dec.py:206 tests shape[-2]).
+    return _reduce_1d(y, -1, odd_correction=rows_odd)
+
+
+def _reduce_tpu_diff():
+    """Pallas reduce wrapped in a custom VJP: the reduce is linear, so the
+    backward pass is the transpose of the XLA implementation (which jax
+    derives automatically). Without this, any gradient through the pyramid
+    (the loss API) hits the Pallas call's missing JVP rule on TPU."""
+    import jax
+
+    @jax.custom_vjp
+    def f(x):
+        from .kernels.pyramid_reduce import reduce_tpu
+
+        return reduce_tpu(x)
+
+    def fwd(x):
+        return f(x), x.shape
+
+    def bwd(shape, g):
+        _, vjp = jax.vjp(_xla_reduce, jnp.zeros(shape, g.dtype))
+        return (vjp(g)[0],)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+_REDUCE_DIFF = None
 
 
 def gausspyr_reduce(x):
@@ -122,19 +160,19 @@ def gausspyr_reduce(x):
     import jax
 
     H = x.shape[-2]
-    if (not FORCE_XLA and jax.default_backend() == "tpu"):
-        from .kernels.pyramid_reduce import can_reduce_tpu, reduce_tpu
+    if (not FORCE_XLA
+            and (jax.default_backend() == "tpu" or FORCE_KERNEL)):
+        from .kernels.pyramid_reduce import can_reduce_tpu
 
         if can_reduce_tpu(x.shape):
+            global _REDUCE_DIFF
+            if _REDUCE_DIFF is None:
+                _REDUCE_DIFF = _reduce_tpu_diff()
             lead = x.shape[:-2]
             P = int(np.prod(lead)) if lead else 1
-            y = reduce_tpu(x.reshape(P, H, x.shape[-1]))
+            y = _REDUCE_DIFF(x.reshape(P, H, x.shape[-1]))
             return y.reshape(lead + y.shape[-2:])
-    rows_odd = (H % 2) == 1
-    y = _reduce_1d(x, -2, odd_correction=rows_odd)
-    # NOTE: the horizontal pass keys its correction on the ROW count parity —
-    # reference quirk (lpyr_dec.py:206 tests shape[-2]).
-    return _reduce_1d(y, -1, odd_correction=rows_odd)
+    return _xla_reduce(x)
 
 
 def _interleave_zeros_and_pad(x, exp_size: int, axis: int):

@@ -170,12 +170,17 @@ def test_blur_transducer_pooled_matches_lp_norm():
 
 
 def test_loss_gradient_fused_matches_xla():
-    """The raw/pooled fused kernels carry custom VJPs (backward recomputes
-    through jnp); loss value and gradient must match the pure-XLA path."""
+    """The fused kernels on the loss path (reduce, blur, raw masking,
+    pooling) all carry custom VJPs; loss value and gradient must match the
+    pure-XLA path. FORCE_KERNEL also routes the reduce/blur kernels in
+    interpret mode — a missing autodiff rule fails here on CPU (the TPU
+    training path broke exactly this way once)."""
     import jax
 
+    from colorvideovdp_tpu.ops import pyramid as pyr
+
     rng = np.random.RandomState(17)
-    H, W = 48, 128
+    H, W = 64, 256
     ref = rng.rand(1, 3, 1, H, W).astype(np.float32)
     test = np.clip(ref + rng.randn(*ref.shape).astype(np.float32) * 0.1,
                    0, 1)
@@ -186,8 +191,12 @@ def test_loss_gradient_fused_matches_xla():
 
     m1 = cv.cvvdp(display_name="standard_4k", quiet=True)
     m1.force_fused = True
-    f1 = m1.get_loss_fn(H, W)
-    v1, g1 = jax.value_and_grad(f1)(jnp.asarray(test), jnp.asarray(ref))
+    pyr.FORCE_KERNEL = True
+    try:
+        f1 = m1.get_loss_fn(H, W)
+        v1, g1 = jax.value_and_grad(f1)(jnp.asarray(test), jnp.asarray(ref))
+    finally:
+        pyr.FORCE_KERNEL = False
 
     assert abs(float(v0) - float(v1)) < 1e-4, (float(v0), float(v1))
     g0, g1 = np.asarray(g0), np.asarray(g1)
