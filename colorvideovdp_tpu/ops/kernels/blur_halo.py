@@ -161,7 +161,8 @@ def can_blur_tpu(shape, kernel_size: int) -> bool:
     H, W = shape[-2], shape[-1]
     if kernel_size % 2 != 1 or (kernel_size - 1) // 2 > 8:
         return False
-    if not (H % 8 == 0 and 256 <= W <= 8192):
+    # W % 128: Mosaic requires lane-aligned HBM slices for the halo DMA.
+    if not (H % 8 == 0 and W % 128 == 0 and 256 <= W <= 8192):
         return False
     th = 64 if W > 2048 else 128
     th = min(th, max(8, (H // 2) // 8 * 8))

@@ -222,7 +222,8 @@ def _use_blur_transducer(params, C, H, W, mesh) -> bool:
 def can_blur_transducer(C, H, W, kernel_size: int) -> bool:
     if kernel_size % 2 != 1 or (kernel_size - 1) // 2 > 8:
         return False
-    if not (H % 8 == 0 and 256 <= W <= 8192):
+    # W % 128: Mosaic requires lane-aligned HBM slices for the halo DMA.
+    if not (H % 8 == 0 and W % 128 == 0 and 256 <= W <= 8192):
         return False
     th = _bt_tile(C, H, W)
     if th < (kernel_size - 1) // 2 + 2 or H < th + 8:

@@ -152,7 +152,9 @@ def reduce_tpu(x, interpret=None):
 def can_reduce_tpu(shape) -> bool:
     """Whether reduce_tpu supports this (..., H, W) shape."""
     H, W = shape[-2], shape[-1]
-    if not (H % 8 == 0 and W % 2 == 0 and 256 <= W <= 8192):
+    # W % 128: the halo DMA slices full rows, and Mosaic requires the
+    # minor (lane) dimension of HBM slices to be tile-aligned.
+    if not (H % 8 == 0 and W % 128 == 0 and 256 <= W <= 8192):
         return False
     th = min(128, max(8, ((H - 16) // 2) // 8 * 8))
     if H < 2 * th + 16:

@@ -19,8 +19,8 @@ from colorvideovdp_tpu.ops.kernels.pyramid_reduce import (
 )
 
 
-@pytest.mark.parametrize("shape", [(3, 256, 512), (2, 272, 320),
-                                   (1, 544, 960), (6, 64, 256)])
+@pytest.mark.parametrize("shape", [(3, 256, 512), (2, 272, 384),
+                                   (1, 544, 1024), (6, 64, 256)])
 def test_reduce_kernel_matches_xla(shape):
     rng = np.random.RandomState(0)
     x = rng.rand(*shape).astype(np.float32)
@@ -59,7 +59,7 @@ def test_ingest_kernel_video_parity(padding):
 @pytest.mark.parametrize("shape,ks,sigma", [
     ((3, 128, 256), 13, 3.0),
     ((2, 96, 640), 13, 3.0),
-    ((1, 88, 300), 5, 1.2),
+    ((1, 88, 384), 5, 1.2),
 ])
 def test_blur_kernel_matches_xla(shape, ks, sigma):
     from colorvideovdp_tpu.ops import blur as bl
