@@ -169,3 +169,33 @@ def test_estimate_block_N_model():
     m.gpu_mem = 12.0
     m.training_mode = True
     assert m.estimate_block_N(pix_4k, 600) <= n12
+
+
+def test_time_varying_blur_matches_oracle(reference, wavy):
+    """Time-varying distortion (the ex_blur_over_time stimulus class): a
+    sigma ramp over frames — exercises the temporal channels with a
+    non-stationary test signal, unlike the static/dynamic-noise goldens."""
+    import torch
+    from scipy.ndimage import gaussian_filter
+
+    crop = wavy[100:148, 200:280].astype(np.float32) / 255.0
+    N, fps = 12, 30
+    sig = np.concatenate([np.linspace(0.01, 2.0, N // 2),
+                          np.linspace(2.0, 0.01, N - N // 2)])
+    frames = []
+    for s in sig:
+        f = np.stack([gaussian_filter(crop[:, :, c], s, mode="nearest",
+                                      truncate=2.0) for c in range(3)], -1)
+        frames.append(f)
+    V_test = (np.stack(frames, -1) * 255).astype(np.uint8)
+    V_ref = np.repeat((crop[..., None] * 255).astype(np.uint8), N, axis=3)
+
+    m = cv.cvvdp(display_name="standard_4k", quiet=True)
+    Q, _ = m.predict(V_test, V_ref, dim_order="HWCF", frames_per_second=fps)
+
+    ref_m = reference.cvvdp(display_name="standard_4k", quiet=True,
+                            device=torch.device("cpu"))
+    with torch.no_grad():
+        Q_ref, _ = ref_m.predict(V_test, V_ref, dim_order="HWCF",
+                                 frames_per_second=fps)
+    assert abs(float(Q) - float(Q_ref)) < 2e-3, (float(Q), float(Q_ref))
