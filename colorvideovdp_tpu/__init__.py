@@ -7,12 +7,27 @@ import os as _os
 
 # Persistent XLA compilation cache: pipeline graphs are large (unrolled
 # pyramid + CSF) and cold compiles are expensive; cache them across processes.
-if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
-    _cache_dir = _os.path.join(
-        _os.path.expanduser("~"), ".cache", "colorvideovdp_tpu", "xla"
-    )
+# JAX_COMPILATION_CACHE_DIR overrides the default location (this jaxlib does
+# not read that env var itself — verified — so it is applied via jax.config).
+_cache_dir = _os.environ.get("JAX_COMPILATION_CACHE_DIR") or _os.path.join(
+    _os.path.expanduser("~"), ".cache", "colorvideovdp_tpu", "xla"
+)
+if True:
     try:
         _os.makedirs(_cache_dir, exist_ok=True)
+        # Install-time AOT warmup: the package can ship a pre-compiled cache
+        # seed (tools/warmup_cache.py --make-seed) covering the standard
+        # (display, resolution, fps) grid; entries whose keys do not match
+        # this host's jaxlib/backend are simply never hit. Copied once.
+        _seed_dir = _os.path.join(_os.path.dirname(__file__),
+                                  "xla_cache_seed")
+        if _os.path.isdir(_seed_dir):
+            import shutil as _shutil
+
+            for _f in _os.listdir(_seed_dir):
+                _dst = _os.path.join(_cache_dir, _f)
+                if not _os.path.exists(_dst):
+                    _shutil.copy2(_os.path.join(_seed_dir, _f), _dst)
         import jax as _jax
 
         _jax.config.update("jax_compilation_cache_dir", _cache_dir)

@@ -43,13 +43,82 @@ def warm_one(display, W, H, mode, fps=30.0):
           flush=True)
 
 
+def seed_one(display, W, H, fps=30.0):
+    """AOT-compile the video (first + steady) and image step executables for
+    one (display, resolution, fps) without touching the device data path:
+    ``jit.lower(ShapeDtypeStruct...).compile()`` writes the persistent-cache
+    entries that ``predict`` will later hit, with no content uploads (the
+    tunnel in this container is ~25x slower on first contact,
+    docs/compile_breakdown.md)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import colorvideovdp_tpu as cv
+    from colorvideovdp_tpu.io.video_source import video_source_array
+    from colorvideovdp_tpu.ops.temporal import get_temporal_filters
+
+    t0 = time.time()
+    m = cv.cvvdp(display_name=display, quiet=True)
+    m.F, _ = get_temporal_filters(fps, m.sigma_tf, m.beta_tf)
+    m.filter_len = fl = int(m.F[0].shape[0])
+    tiny = np.zeros((H, W, 3, 2), np.uint8)
+    vs = video_source_array(tiny, tiny, fps, dim_order="HWCF",
+                            display_photometry=m.display_photometry)
+    m._ensure_pyramids(W, H)
+    blk = m.estimate_block_N(H * W, 3600)
+    shape = (1, blk, 3, H, W)
+    raw_sd = jax.ShapeDtypeStruct(shape, jnp.uint8)
+    tail_sd = jax.ShapeDtypeStruct((1, 3, fl - 1, H, W), jnp.float32)
+    head_sd = jax.ShapeDtypeStruct((1, fl - 1, 3, H, W), jnp.uint8)
+
+    steady = m._get_video_step(vs, "DKLd65", shape, np.uint8, first=False)
+    steady.lower(tail_sd, tail_sd, raw_sd, raw_sd).compile()
+    first = m._get_video_step(vs, "DKLd65", shape, np.uint8, first=True)
+    if m.temp_padding == "replicate":
+        first.lower(raw_sd, raw_sd).compile()
+    else:
+        first.lower(head_sd, head_sd, raw_sd, raw_sd).compile()
+    img_shape = (1, 1, 3, H, W)
+    img = m._get_image_step(vs, "DKLd65", img_shape, np.uint8)
+    img_sd = jax.ShapeDtypeStruct(img_shape, jnp.uint8)
+    img.lower(img_sd, img_sd).compile()
+    print(f"  {display} {W}x{H} fps={fps} blk={blk}: "
+          f"seeded in {time.time() - t0:.1f}s", flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--res", default=None, help="WxH override")
     ap.add_argument("--display", default=None)
     ap.add_argument("--fps", type=float, default=30.0)
+    ap.add_argument("--make-seed", action="store_true",
+                    help="AOT-compile the standard grid into the bundled "
+                         "cache seed dir (colorvideovdp_tpu/xla_cache_seed) "
+                         "instead of executing warmup predicts")
     args = ap.parse_args()
+
+    if args.make_seed:
+        seed_dir = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "colorvideovdp_tpu", "xla_cache_seed",
+        )
+        os.makedirs(seed_dir, exist_ok=True)
+        os.environ["JAX_COMPILATION_CACHE_DIR"] = seed_dir
+        os.environ["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "1.0"
+        if args.res:
+            W, H = (int(v) for v in args.res.split("x"))
+            resolutions = [(W, H)]
+        else:
+            resolutions = list(RES.values())
+        displays = ([args.display] if args.display
+                    else ["standard_4k", "standard_hdr_pq"])
+        for display in displays:
+            for W, H in resolutions:
+                seed_one(display, W, H, args.fps)
+        print(f"seed written to {seed_dir}")
+        return
 
     if args.res:
         W, H = (int(v) for v in args.res.split("x"))
