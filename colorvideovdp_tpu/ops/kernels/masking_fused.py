@@ -101,22 +101,23 @@ def _kernel_b(m_ref, diff_ref, d_ref, *, qs, p, xcm, max_v):
 
 
 def _blur_b_kernel(m_hbm, diff_ref, d_ref, scratch, sem, *, taps, scale,
-                   qs, p, xcm, max_v, C, th, H, W, nT, pool_beta=None):
+                   qs, p, xcm, max_v, C, th, H, W, Hp, Wp, nT,
+                   pool_beta=None):
     """Fused phase-uncertainty blur + masking transducer: one halo'd read of
     M_pre per tile (manual DMA, same slab scheme as kernels/blur_halo.py),
     both blur passes + reflect corrections, the 10^mask_c scale, safe_pow,
     cross-channel mixing and the soft clamp in VMEM. Removes the blurred-M
-    HBM materialisation between kernels A and B."""
+    HBM materialisation between kernels A and B. H/W are the REAL image
+    sizes; Hp/Wp the (aligned) padded buffer sizes — padded cells hold
+    exact zeros (the masking chain maps them to D == 0)."""
     l = pl.program_id(0)
     i = pl.program_id(1)
-    ks = len(taps)
-    r = (ks - 1) // 2
     LS = th + 16
 
     @pl.when(i == 0)
     def _():
         for c in range(C):
-            scratch[c, 0:8, :] = jnp.zeros((8, W), jnp.float32)
+            scratch[c, 0:8, :] = jnp.zeros((8, Wp), jnp.float32)
             cp = pltpu.make_async_copy(
                 m_hbm.at[c, l, pl.ds(0, th + 8), :],
                 scratch.at[c, pl.ds(8, th + 8), :], sem,
@@ -126,7 +127,7 @@ def _blur_b_kernel(m_hbm, diff_ref, d_ref, scratch, sem, *, taps, scale,
 
     r0_last = (nT - 1) * th
     base_l = r0_last - 8
-    size_l = H - base_l
+    size_l = Hp - base_l
 
     @pl.when(i == nT - 1)
     def _():
@@ -137,7 +138,9 @@ def _blur_b_kernel(m_hbm, diff_ref, d_ref, scratch, sem, *, taps, scale,
             )
             cp.start()
             cp.wait()
-            scratch[c, pl.ds(size_l, 8), :] = jnp.zeros((8, W), jnp.float32)
+            if size_l < LS:
+                scratch[c, size_l:LS, :] = jnp.zeros((LS - size_l, Wp),
+                                                     jnp.float32)
 
     if nT > 2:
 
@@ -161,7 +164,7 @@ def _blur_b_kernel(m_hbm, diff_ref, d_ref, scratch, sem, *, taps, scale,
     for c in range(C):
         yh = apply_blur_tile(
             lambda s, n, _c=c: scratch[_c, pl.ds(s, n), :], i, nT, taps,
-            th, H, W,
+            th, H, W, Wp,
         )
         m_b = yh * float(scale)
         q = float(qs[c])
@@ -193,8 +196,13 @@ def _blur_b_kernel(m_hbm, diff_ref, d_ref, scratch, sem, *, taps, scale,
 
     b = float(pool_beta)
     L = d_ref.shape[1]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (th, W), 0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (th, Wp), 0)
     valid = (i * th + rows) < H  # mask the padded rows of the last tile
+    if W < Wp:
+        # Padded columns contribute exactly 0 (diff == 0 there), but mask
+        # them anyway so any upstream change cannot silently leak in.
+        cols = jax.lax.broadcasted_iota(jnp.int32, (th, Wp), 1)
+        valid = valid & (cols < W)
     crow = jax.lax.broadcasted_iota(jnp.int32, (C, L), 0)
     clane = jax.lax.broadcasted_iota(jnp.int32, (C, L), 1)
     for d in range(C):
@@ -219,16 +227,22 @@ def _use_blur_transducer(params, C, H, W, mesh) -> bool:
     )
 
 
+def _ceil_to(v: int, m: int) -> int:
+    return -(-v // m) * m
+
+
 def can_blur_transducer(C, H, W, kernel_size: int) -> bool:
     if kernel_size % 2 != 1 or (kernel_size - 1) // 2 > 8:
         return False
-    # W % 128: Mosaic requires lane-aligned HBM slices for the halo DMA.
-    if not (H % 8 == 0 and W % 128 == 0 and 256 <= W <= 8192):
+    # Unaligned H/W are zero-padded by fused_blur_transducer's caller
+    # (pad, don't gate — VERDICT r2 item 2); only size floors remain.
+    if not (H >= 16 and 129 <= W <= 8192):
         return False
-    th = _bt_tile(C, H, W)
-    if th < (kernel_size - 1) // 2 + 2 or H < th + 8:
+    Hp, Wp = _ceil_to(H, 8), _ceil_to(W, 128)
+    th = _bt_tile(C, Hp, Wp)
+    if th < (kernel_size - 1) // 2 + 2 or Hp < th + 8:
         return False
-    return -(-H // th) >= 2
+    return -(-Hp // th) >= 2
 
 
 def _bt_tile(C, H, W):
@@ -244,47 +258,65 @@ def _bt_tile(C, H, W):
 
 def fused_blur_transducer(m_pre, diff, taps, scale, qs, p: float,
                           xcm: np.ndarray, max_v: float, pool_beta=None,
-                          interpret=None):
+                          interpret=None, real_hw=None):
     """(C, L, H, W) M_pre (pre-blur) + diff -> D, with the phase-uncertainty
     blur applied to M in-kernel. With ``pool_beta`` the spatial pooling sum
     is fused too and the result is (C, L) per-plane sum(safe_pow(D, beta))
-    — D itself never reaches HBM."""
+    — D itself never reaches HBM.
+
+    ``real_hw``: when the caller already padded the tensors (zeros beyond
+    the true edges), the real (H, W) the reflect corrections and pooling
+    mask anchor to. Otherwise unaligned inputs are padded/sliced here."""
     C, L, H, W = m_pre.shape
-    th = _bt_tile(C, H, W)
-    nT = -(-H // th)
+    if real_hw is not None:
+        Hr, Wr = real_hw
+        Hp, Wp = H, W
+        assert Hp % 8 == 0 and Wp % 128 == 0
+    else:
+        Hr, Wr = H, W
+        Hp, Wp = _ceil_to(H, 8), _ceil_to(W, 128)
+        if (Hp, Wp) != (H, W):
+            pad = ((0, 0), (0, 0), (0, Hp - H), (0, Wp - W))
+            m_pre = jnp.pad(m_pre, pad)
+            diff = jnp.pad(diff, pad)
+    th = _bt_tile(C, Hp, Wp)
+    nT = -(-Hp // th)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     kern = functools.partial(
         _blur_b_kernel, taps=tuple(float(t) for t in taps),
         scale=float(scale), qs=tuple(float(q) for q in qs), p=float(p),
         xcm=np.asarray(xcm, np.float32), max_v=float(max_v), C=C, th=th,
-        H=H, W=W, nT=nT,
+        H=Hr, W=Wr, Hp=Hp, Wp=Wp, nT=nT,
         pool_beta=None if pool_beta is None else float(pool_beta),
     )
     if pool_beta is None:
-        out_specs = pl.BlockSpec((C, 1, th, W), lambda l, i: (0, l, i, 0),
+        out_specs = pl.BlockSpec((C, 1, th, Wp), lambda l, i: (0, l, i, 0),
                                  memory_space=pltpu.VMEM)
-        out_shape = jax.ShapeDtypeStruct((C, L, H, W), jnp.float32)
+        out_shape = jax.ShapeDtypeStruct((C, L, Hp, Wp), jnp.float32)
     else:
         out_specs = pl.BlockSpec((C, L), lambda l, i: (0, 0),
                                  memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct((C, L), jnp.float32)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kern,
         grid=(L, nT),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((C, 1, th, W), lambda l, i: (0, l, i, 0),
+            pl.BlockSpec((C, 1, th, Wp), lambda l, i: (0, l, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((C, th + 16, W), jnp.float32),
+            pltpu.VMEM((C, th + 16, Wp), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(m_pre, diff)
+    if pool_beta is None and real_hw is None and (Hp, Wp) != (H, W):
+        out = out[:, :, :H, :W]
+    return out
 
 
 def _grid_specs(C, L, H, W, n_buffers):

@@ -18,8 +18,14 @@ Mosaic cannot decimate along lanes, so the horizontal pass runs in the
 transposed orientation: W on sublanes, phase split via a free sublane
 reshape, 5-tap polyphase, transpose back.
 
-Used for levels with H % 8 == 0, even W >= 256 and at least two row tiles;
-smaller/odd levels fall back to the XLA path (they are KB-sized).
+Arbitrary sizes (VERDICT r2 item 2 — pad, don't gate): inputs whose H is
+not 8-row aligned or whose W is not lane aligned are zero-padded by the
+wrapper (zeros beyond the true edges match the reference's zero-padded
+conv exactly), the kernel applies the boundary corrections at the REAL
+(H, W) edges — including the row-parity quirk that keys BOTH passes' last
+-sample correction on H's parity (lpyr_dec.py:206) — and the wrapper
+slices the decimated result back to (ceil(H/2), ceil(W/2)). Aligned
+shapes take the identical unpadded route as before.
 """
 
 from __future__ import annotations
@@ -35,27 +41,40 @@ from jax.experimental.pallas import tpu as pltpu
 from ..pyramid import K5
 
 
-def _reduce_kernel(x_hbm, out_ref, scratch, sem, *, th, H, W, nT):
+def _ceil_to(v: int, m: int) -> int:
+    return -(-v // m) * m
+
+
+def _tile_rows(H: int) -> int:
+    return min(128, max(8, ((H - 16) // 2) // 8 * 8))
+
+
+def _reduce_kernel(x_hbm, out_ref, scratch, sem, *, th, H, W, Hp, Wp, nT):
+    """One (th, Wop) decimated output tile. H/W are the REAL input sizes
+    (boundary corrections anchor to them); Hp/Wp the padded buffer sizes."""
     i = pl.program_id(1)
     p = pl.program_id(0)
     LS = 2 * th + 16  # slab rows DMA'd per interior tile
-    He = H // 2
-    Wo = W // 2
+    He = (H + 1) // 2
+    Wo = (W + 1) // 2
+    Wop = Wp // 2
+    rows_odd = (H % 2) == 1  # static: selects the reference's parity branch
     k0, k1, k2, k3, k4 = (float(K5[t]) for t in range(5))
 
     # --- halo DMA: scratch[(g - (2*r0 - 8))] := x[g], zeros outside ------
     @pl.when(i == 0)
     def _():
-        scratch[0:8, :] = jnp.zeros((8, W), jnp.float32)
+        scratch[0:8, :] = jnp.zeros((8, Wp), jnp.float32)
         cp = pltpu.make_async_copy(
-            x_hbm.at[p, pl.ds(0, LS), :], scratch.at[pl.ds(8, LS), :], sem
+            x_hbm.at[p, pl.ds(0, LS - 8), :], scratch.at[pl.ds(8, LS - 8), :],
+            sem,
         )
         cp.start()
         cp.wait()
 
     r0_last = (nT - 1) * th
     base_l = 2 * r0_last - 8
-    size_l = H - base_l  # static, multiple of 8 (H % 8 == 0, base_l % 8 == 0)
+    size_l = Hp - base_l  # static, multiple of 8
 
     @pl.when(i == nT - 1)
     def _():
@@ -66,7 +85,8 @@ def _reduce_kernel(x_hbm, out_ref, scratch, sem, *, th, H, W, nT):
         )
         cp.start()
         cp.wait()
-        scratch[pl.ds(size_l, 8), :] = jnp.zeros((8, W), jnp.float32)
+        if size_l < LS:
+            scratch[size_l:LS, :] = jnp.zeros((LS - size_l, Wp), jnp.float32)
 
     if nT > 2:
 
@@ -83,39 +103,48 @@ def _reduce_kernel(x_hbm, out_ref, scratch, sem, *, th, H, W, nT):
 
     # --- vertical pass: yv[r] = sum_t K[t] * scratch[2r + t + 6] ---------
     v = scratch[:]
-    v2 = v.reshape((2 * th + 24) // 2, 2, W)  # v2[k, q] = scratch[2k + q]
+    v2 = v.reshape((LS + 8) // 2, 2, Wp)  # v2[k, q] = scratch[2k + q]
     # scratch row 2r + t + 6 -> v2[r + (t + 6) // 2, (t + 6) % 2]
     yv = (k0 * v2[3:th + 3, 0] + k1 * v2[3:th + 3, 1]
           + k2 * v2[4:th + 4, 0] + k3 * v2[4:th + 4, 1]
           + k4 * v2[5:th + 5, 0])
 
-    # Vertical edge corrections (lpyr_dec.py:199-209; H even => even branch)
-    # as masked one-row adds. x[0] -> scratch[8], x[1] -> scratch[9].
+    # Vertical edge corrections (lpyr_dec.py:199-209) as masked one-row
+    # adds. x[0] -> scratch[8] (tile 0); x[g] -> scratch[g - (2*iL*th - 8)]
+    # in the tile iL that owns output row He-1.
     first_fix = scratch[8, :] * k1 + scratch[9, :] * k0
     row = jax.lax.broadcasted_iota(jnp.int32, (th, 1), 0)
     yv = jnp.where((row == 0) & (i == 0), yv + first_fix[None, :], yv)
 
-    r_last = He - 1 - r0_last  # static row index within the last tile
-    last_fix = scratch[H - base_l - 1, :] * k4  # x[H-1], even-H branch
-    yv = jnp.where((row == r_last) & (i == nT - 1), yv + last_fix[None, :],
-                   yv)
+    iL = (He - 1) // th
+    rl = (He - 1) - iL * th  # static row index within tile iL
+    off = 2 * iL * th - 8    # scratch offset of that tile (-8 lead-in @ 0)
+    if rows_odd:
+        last_fix = (scratch[H - 1 - off, :] * k3
+                    + scratch[H - 2 - off, :] * k4)
+    else:
+        last_fix = scratch[H - 1 - off, :] * k4
+    yv = jnp.where((row == rl) & (i == iL), yv + last_fix[None, :], yv)
 
     # --- horizontal pass in the transposed orientation -------------------
-    yvT = yv.T  # (W, th)
-    ph = yvT.reshape(Wo, 2, th)
+    yvT = yv.T  # (Wp, th)
+    ph = yvT.reshape(Wop, 2, th)
     xe = ph[:, 0, :]
     xo = ph[:, 1, :]
     zrow = jnp.zeros((1, th), jnp.float32)
     xep = jnp.concatenate([zrow, xe, zrow], axis=0)
     xop = jnp.concatenate([zrow, xo], axis=0)
-    yhT = (k0 * xep[0:Wo] + k1 * xop[0:Wo] + k2 * xep[1:Wo + 1]
-           + k3 * xop[1:Wo + 1] + k4 * xep[2:Wo + 2])
+    yhT = (k0 * xep[0:Wop] + k1 * xop[0:Wop] + k2 * xep[1:Wop + 1]
+           + k3 * xop[1:Wop + 1] + k4 * xep[2:Wop + 2])
 
     # Horizontal edge corrections; parity quirk keyed on the ROW count
-    # (lpyr_dec.py:206) — H is even here, so the even branch applies.
+    # (lpyr_dec.py:206 tests shape[-2]) for the last-column branch.
     c_first = yhT[0] + yvT[0] * k1 + yvT[1] * k0
-    c_last = yhT[Wo - 1] + yvT[W - 1] * k4
-    col = jax.lax.broadcasted_iota(jnp.int32, (Wo, 1), 0)
+    if rows_odd:
+        c_last = yhT[Wo - 1] + yvT[W - 1] * k3 + yvT[W - 2] * k4
+    else:
+        c_last = yhT[Wo - 1] + yvT[W - 1] * k4
+    col = jax.lax.broadcasted_iota(jnp.int32, (Wop, 1), 0)
     yhT = jnp.where(col == 0, c_first[None, :], yhT)
     yhT = jnp.where(col == Wo - 1, c_last[None, :], yhT)
 
@@ -123,40 +152,52 @@ def _reduce_kernel(x_hbm, out_ref, scratch, sem, *, th, H, W, nT):
 
 
 def reduce_tpu(x, interpret=None):
-    """(P, H, W) -> (P, H/2, W/2) Gaussian reduce; requires H % 8 == 0 and
-    even W (caller guards via can_reduce_tpu)."""
+    """(P, H, W) -> (P, ceil(H/2), ceil(W/2)) Gaussian reduce for any shape
+    accepted by ``can_reduce_tpu`` (unaligned inputs are zero-padded and the
+    result sliced back; aligned inputs run unpadded as before)."""
     P, H, W = x.shape
-    assert H % 8 == 0 and W % 2 == 0
-    He, Wo = H // 2, W // 2
-    th = min(128, max(8, ((H - 16) // 2) // 8 * 8))
+    He, Wo = (H + 1) // 2, (W + 1) // 2
+    th = _tile_rows(H)
     nT = -(-He // th)
     assert nT >= 2, "reduce_tpu requires at least two row tiles"
+    # Pad W so that both the slab lane count and the decimated output lane
+    # count are tile-aligned; pad H (only when not 8-aligned) so every slab
+    # slice keeps an 8-row base/size and the taps past the true bottom edge
+    # read zeros.
+    Wp = _ceil_to(W, 256)
+    Hp = H if H % 8 == 0 else _ceil_to(H + 8, 8)
+    if (Hp, Wp) != (H, W):
+        x = jnp.pad(x, ((0, 0), (0, Hp - H), (0, Wp - W)))
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    kern = functools.partial(_reduce_kernel, th=th, H=H, W=W, nT=nT)
-    return pl.pallas_call(
+    kern = functools.partial(_reduce_kernel, th=th, H=H, W=W, Hp=Hp, Wp=Wp,
+                             nT=nT)
+    out = pl.pallas_call(
         kern,
         grid=(P, nT),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec((1, th, Wo), lambda p, i: (p, i, 0),
+        out_specs=pl.BlockSpec((1, th, Wp // 2), lambda p, i: (p, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((P, He, Wo), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((P, th * nT, Wp // 2), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2 * th + 24, W), jnp.float32),
+            pltpu.VMEM((2 * th + 24, Wp), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(x)
+    if (th * nT, Wp // 2) != (He, Wo):
+        out = out[:, :He, :Wo]
+    return out
 
 
 def can_reduce_tpu(shape) -> bool:
-    """Whether reduce_tpu supports this (..., H, W) shape."""
+    """Whether reduce_tpu supports this (..., H, W) shape. Unaligned widths
+    and odd/unaligned heights are padded inside the wrapper; only genuinely
+    tiny levels (which are KB-sized and cheap in XLA) are excluded."""
     H, W = shape[-2], shape[-1]
-    # W % 128: the halo DMA slices full rows, and Mosaic requires the
-    # minor (lane) dimension of HBM slices to be tile-aligned.
-    if not (H % 8 == 0 and W % 128 == 0 and 256 <= W <= 8192):
+    if not (H >= 48 and 256 <= W <= 8192):
         return False
-    th = min(128, max(8, ((H - 16) // 2) // 8 * 8))
+    th = _tile_rows(H)
     if H < 2 * th + 16:
         return False
-    return -(-(H // 2) // th) >= 2
+    return -(-((H + 1) // 2) // th) >= 2

@@ -20,7 +20,13 @@ from colorvideovdp_tpu.ops.kernels.pyramid_reduce import (
 
 
 @pytest.mark.parametrize("shape", [(3, 256, 512), (2, 272, 384),
-                                   (1, 544, 1024), (6, 64, 256)])
+                                   (1, 544, 1024), (6, 64, 256),
+                                   # pad-don't-gate: odd H / unaligned W
+                                   # (the reference's own example content,
+                                   # ex_simple_video 1024x683 and
+                                   # ex_blur_over_time 1200x800)
+                                   (2, 683, 1024), (2, 800, 1200),
+                                   (1, 341, 600), (1, 57, 256)])
 def test_reduce_kernel_matches_xla(shape):
     rng = np.random.RandomState(0)
     x = rng.rand(*shape).astype(np.float32)
@@ -84,6 +90,42 @@ def test_odd_resolution_video_force_fused():
     between Pallas and XLA paths and still match the pure-XLA result."""
     rng = np.random.RandomState(13)
     H, W, N, fps = 45, 151, 6, 24
+    V_ref = np.repeat((rng.rand(H, W, 3, 1) * 255).astype(np.uint8), N,
+                      axis=3)
+    V_test = ((V_ref.astype(np.float32) / 255
+               + rng.randn(*V_ref.shape) * 0.05).clip(0, 1)
+              * 255).astype(np.uint8)
+    kw = dict(display_name="standard_4k", quiet=True)
+    m0 = cv.cvvdp(**kw)
+    Q0, _ = m0.predict(V_test, V_ref, dim_order="HWCF",
+                       frames_per_second=fps)
+    m1 = cv.cvvdp(**kw)
+    m1.force_fused = True
+    Q1, _ = m1.predict(V_test, V_ref, dim_order="HWCF",
+                       frames_per_second=fps)
+    assert abs(float(Q0) - float(Q1)) < 1e-4, (float(Q0), float(Q1))
+
+
+@pytest.mark.parametrize("H,W", [(96, 1200), (91, 683)])
+def test_unaligned_width_video_force_fused(H, W):
+    """Pad-don't-gate (VERDICT r2 item 2): clip widths off the 128-lane
+    grid — 1200 (ex_blur_over_time content width) and 683 (ex_simple_video,
+    transposed) — must route through the REAL fused kernel path (interpret
+    mode here; the kernels zero-pad internally and correct at the true
+    edges) and match the pure-XLA result."""
+    from colorvideovdp_tpu.ops.kernels.blur_halo import can_blur_tpu
+    from colorvideovdp_tpu.ops.kernels.masking_fused import (
+        can_blur_transducer,
+    )
+    from colorvideovdp_tpu.ops.kernels.pyramid_reduce import can_reduce_tpu
+
+    # The premise of the test: these shapes ARE kernel-eligible now.
+    assert can_reduce_tpu((1, H, W))
+    assert can_blur_tpu((1, H, W), 13)
+    assert can_blur_transducer(4, H, W, 13)
+
+    rng = np.random.RandomState(31)
+    N, fps = 5, 24
     V_ref = np.repeat((rng.rand(H, W, 3, 1) * 255).astype(np.uint8), N,
                       axis=3)
     V_test = ((V_ref.astype(np.float32) / 255
