@@ -47,7 +47,9 @@ def test_heatmap_matches_oracle(reference, crop_pair):
     assert hm.shape == hm_ref.shape == (1, 3, 1) + ref.shape[:2]
     assert hm.min() >= 0.0 and hm.max() <= 1.0
     max_delta = np.abs(hm - hm_ref).max()
-    assert max_delta < 2.5e-3, max_delta
+    # Measured quantum: 0.00098 (fp16 storage); anything past 1.1e-3 is
+    # real drift, not rounding.
+    assert max_delta < 1.1e-3, max_delta
 
 
 def test_heatmap_raw_matches_oracle(reference, crop_pair):
@@ -63,7 +65,65 @@ def test_heatmap_raw_matches_oracle(reference, crop_pair):
     with torch.no_grad():
         _, stats_ref = ref_m.predict(test, ref, dim_order="HWC")
     hm_ref = stats_ref["heatmap"].to(torch.float32).numpy()
-    assert np.abs(hm - hm_ref).max() < 2.5e-3
+    assert np.abs(hm - hm_ref).max() < 1.1e-3
+
+
+def test_heatmap_video_multiblock_matches_oracle(reference, crop_pair):
+    """Video heatmap streamed block-by-block vs the reference
+    (cvvdp_metric.py:724-744).
+
+    The colour-mapped heatmap's context tonemap is BLOCK-scoped in the
+    reference (vis_tonemap's histogram spans the block passed to
+    visualize_diff_map, cvvdp_metric.py:401), and the reference's CPU
+    path always uses 1-frame blocks (cvvdp_metric.py:355) — so pixel
+    parity only holds when our block partitioning matches. We force
+    block_N == 1 for the oracle comparison and separately assert the
+    block-size INVARIANT the metric really owes: the raw (uncolormapped)
+    heatmap must be identical whatever the streaming block size."""
+    import torch
+
+    test, ref = crop_pair
+    N, fps = 12, 30
+    V_ref = np.repeat(ref[..., np.newaxis], N, axis=3)
+    rng = np.random.RandomState(11)
+    V_test = ((np.repeat(test[..., np.newaxis], N, axis=3)
+               .astype(np.float32) / 255
+               + rng.randn(*V_ref.shape) * 0.02).clip(0, 1) * 255
+              ).astype(np.uint8)
+    pix_cnt = ref.shape[0] * ref.shape[1]
+
+    m = cv.cvvdp(display_name="standard_4k", heatmap="supra-threshold",
+                 quiet=True, gpu_mem=0.3)
+    assert m.estimate_block_N(pix_cnt, N) == 1
+    Q, stats = m.predict(V_test, V_ref, dim_order="HWCF",
+                         frames_per_second=fps)
+    hm = np.asarray(stats["heatmap"], np.float32)
+
+    ref_m = reference.cvvdp(display_name="standard_4k", quiet=True,
+                            heatmap="supra-threshold",
+                            device=torch.device("cpu"))
+    with torch.no_grad():
+        _, stats_ref = ref_m.predict(V_test, V_ref, dim_order="HWCF",
+                                     frames_per_second=fps)
+    hm_ref = stats_ref["heatmap"].to(torch.float32).numpy()
+    assert hm.shape == hm_ref.shape == (1, 3, N) + ref.shape[:2]
+    assert np.abs(hm - hm_ref).max() < 1.1e-3
+
+    # Raw heatmap is block-size invariant: multi-frame blocks (gpu_mem
+    # 0.62 -> 7-frame blocks) vs single-block must agree to the fp16
+    # storage quantum.
+    hms = []
+    for gm in (0.62, None):
+        kw = dict(display_name="standard_4k", heatmap="raw", quiet=True)
+        if gm is not None:
+            kw["gpu_mem"] = gm
+        mr = cv.cvvdp(**kw)
+        bn = mr.estimate_block_N(pix_cnt, N)
+        assert (1 < bn < N) if gm is not None else (bn == N)
+        _, st = mr.predict(V_test, V_ref, dim_order="HWCF",
+                           frames_per_second=fps)
+        hms.append(np.asarray(st["heatmap"], np.float32))
+    assert np.abs(hms[0] - hms[1]).max() < 2.5e-4
 
 
 def test_vis_tonemap_matches_oracle(reference):
