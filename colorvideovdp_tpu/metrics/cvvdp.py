@@ -925,7 +925,7 @@ class cvvdp(vq_metric):
                 return mk.phase_uncertainty(M, _p)
 
             if raw_band:
-                gi_b, E_b = B_bands[bb]
+                gi_b, gn_b = B_bands[bb]
                 h_b, w_b = gi_b.shape[-2], gi_b.shape[-1]
                 raw_shard_ok = (
                     mesh is None
@@ -936,17 +936,57 @@ class cvvdp(vq_metric):
                 # another slow remote Mosaic compile for ~1% of the pixels.
                 # force_fused (the CPU interpret-mode test path) keeps the
                 # low threshold so kernel semantics stay covered.
-                min_w = 128 if getattr(self, "force_fused", False) else 512
-                if h_b >= 8 and w_b >= min_w and raw_shard_ok:
+                force_f = getattr(self, "force_fused", False)
+                min_w = 128 if force_f else 512
+                # Without a heatmap/dump consumer the spatial pooling
+                # fuses into the kernel too: the band's D tensor never
+                # reaches HBM.
+                pool = (None if (self.do_heatmap or dump_D is not None)
+                        else float(self.beta))
+                from ..ops.kernels.band_fused import can_band_fused
+
+                # Mega-kernel route: expand + contrast + CSF + blur +
+                # transducer (+ pooling) in one pallas_call — G_{i+1} is
+                # read directly; E/M_pre/diff never reach HBM. Opt-in
+                # (``use_band_mega=True``): measured on v5e at 4K it is
+                # ~55% SLOWER than the XLA-expand + two-kernel route
+                # (19.4 vs 12.5 ms per 2-frame band-0 call) because the
+                # polyphase interleave runs as VPU sublane shuffles in
+                # Mosaic, costing more than the ~2.6x HBM traffic it
+                # saves. Kept as the measured proof that the per-band
+                # expand materialisation is not worth removing on this
+                # hardware. Single-device traces only (its halo DMA
+                # crosses shard rows).
+                use_mega = (
+                    getattr(self, "use_band_mega", False)
+                    and mesh is None
+                    and params.pu_dilate != 0
+                    and h_b > params.pu_padsize and w_b > params.pu_padsize
+                    and can_band_fused(all_ch, h_b, w_b,
+                                       params.pu_kernel_size,
+                                       min_w=256 if force_f else 512)
+                )
+                if use_mega:
+                    from ..ops.kernels.band_fused import make_band_fused
+
+                    lut_rows, x0, x1, gains = _lut_rows()
+                    fused = make_band_fused(
+                        lut_rows, x0, x1, gains, sens_corr, params,
+                        self.contrast.endswith("ref"), mul_band,
+                        pool_beta=pool,
+                    )
+                    if pool is not None:
+                        Q_cols.append(fused(gi_b, gn_b))
+                        continue
+                    D = fused(gi_b, gn_b)
+                    T_f = None
+                elif h_b >= 8 and w_b >= min_w and raw_shard_ok:
                     from ..ops.kernels.masking_fused import (
                         make_fused_mult_mutual_raw,
                     )
+                    from ..ops.pyramid import gausspyr_expand
 
-                    # Without a heatmap/dump consumer the spatial pooling
-                    # fuses into the kernel too: the band's D tensor never
-                    # reaches HBM.
-                    pool = (None if (self.do_heatmap or dump_D is not None)
-                            else float(self.beta))
+                    E_b = gausspyr_expand(gn_b, (h_b, w_b))
                     lut_rows, x0, x1, gains = _lut_rows()
                     fused = make_fused_mult_mutual_raw(
                         lut_rows, x0, x1, gains, sens_corr, params, blur_fn,
@@ -960,6 +1000,9 @@ class cvvdp(vq_metric):
                     T_f = None  # tiny/unshardable bands never take this route
                 else:
                     # Tiny deep band: contrast coding in jnp, generic path.
+                    from ..ops.pyramid import gausspyr_expand
+
+                    E_b = gausspyr_expand(gn_b, (h_b, w_b))
                     lb_r = jnp.clip(E_b[:, 1:2], 0.01, None)
                     lb_t = (lb_r if self.contrast.endswith("ref")
                             else jnp.clip(E_b[:, 0:1], 0.01, None))

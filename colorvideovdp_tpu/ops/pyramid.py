@@ -333,12 +333,11 @@ class WeberContrastPyramid(LaplacianPyramid):
 
     def decompose(self, image, raw_pairs=False):
         """``raw_pairs=True`` (fused-scoring path): interior levels return
-        ``(G_i, expand(G_{i+1}))`` tuples with ``None`` log-luminance — the
-        Weber contrast coding then happens inside the masking Pallas kernel
-        (ops/kernels/masking_fused.py:_kernel_a_raw), skipping the con/logL
-        HBM materialisations. Baseband is unchanged."""
-        import jax
-
+        ``(G_i, G_{i+1})`` tuples with ``None`` log-luminance — the expand,
+        Weber contrast coding and CSF then happen inside the fused Pallas
+        kernels (ops/kernels/band_fused.py, or masking_fused._kernel_a_raw
+        after an explicit XLA expand), skipping the con/logL HBM
+        materialisations. Baseband is unchanged."""
         gpyr = self.gaussian_pyramid(image, self.height + 1)
         height = len(gpyr)
         lpyr = []
@@ -346,8 +345,7 @@ class WeberContrastPyramid(LaplacianPyramid):
         for i in range(height):
             is_baseband = i == height - 1
             if raw_pairs and not is_baseband:
-                glayer_ex = gausspyr_expand(gpyr[i + 1], gpyr[i].shape[-2:])
-                lpyr.append((gpyr[i], glayer_ex))
+                lpyr.append((gpyr[i], gpyr[i + 1]))
                 L_bkg_pyr.append(None)
                 continue
             if is_baseband:

@@ -211,6 +211,107 @@ def test_blur_transducer_pooled_matches_lp_norm():
     assert np.abs(want - got).max() < 1e-5
 
 
+def _band_fused_setup(H, W, L=2, seed=41):
+    """Shared fixtures for the band mega-kernel tests: a metric's real
+    calibration constants plus a synthetic (2C, L, H, W) Gaussian level and
+    its genuine reduce."""
+    m = cv.cvvdp(display_name="standard_4k", quiet=True)
+    params = m._masking_params()
+    rho = 2.0
+    lut_rows = np.stack([m.csf.logS_of_logL(rho, om, cc)
+                         for om, cc in ((0, 0), (0, 1), (0, 2), (5, 0))])
+    x0, x1 = float(m.csf.log_L_bkg[0]), float(m.csf.log_L_bkg[-1])
+    rng = np.random.RandomState(seed)
+    gi = (rng.rand(8, L, H, W).astype(np.float32) * 80.0 + 1.0)
+    gn = np.asarray(pyr.gausspyr_reduce(jnp.asarray(gi)))
+    return m, params, lut_rows, x0, x1, gi, gn
+
+
+def test_band_fused_kernel_matches_chain():
+    """Mega-kernel D output vs the jnp chain (expand + contrast + CSF +
+    blur + transducer), interpret mode."""
+    from colorvideovdp_tpu.ops.kernels.band_fused import (
+        can_band_fused,
+        make_band_fused,
+    )
+
+    H, W, L = 96, 512, 2
+    m, params, lut_rows, x0, x1, gi, gn = _band_fused_setup(H, W, L)
+    assert can_band_fused(4, H, W, params.pu_kernel_size, min_w=256)
+    gains = (1.0, 1.45, 1.0, 1.0)
+    sens_corr = 1.0
+    mul = 2.0
+
+    fused = make_band_fused(lut_rows, x0, x1, gains, sens_corr, params,
+                            False, mul, pool_beta=None)
+    gi5 = jnp.asarray(gi).reshape(1, 8, L, H, W)
+    gn5 = jnp.asarray(gn).reshape(1, 8, L, *gn.shape[-2:])
+    D_k = np.asarray(fused(gi5, gn5))
+
+    # jnp reference: identical math through the public ops
+    from colorvideovdp_tpu.ops import masking as mk
+    from colorvideovdp_tpu.ops.kernels import csf_lut as _cl
+
+    E = pyr.gausspyr_expand(gn5, (H, W))
+    lb_r = jnp.clip(E[:, 1:2], 0.01, None)
+    lb_t = jnp.clip(E[:, 0:1], 0.01, None)
+    T = jnp.clip((gi5[:, 0::2] - E[:, 0::2]) / lb_t, None, 1000.0) * mul
+    R = jnp.clip((gi5[:, 1::2] - E[:, 1::2]) / lb_r, None, 1000.0) * mul
+    S = _cl._jnp_lookup(jnp.log10(lb_r[:, 0]), lut_rows, x0, x1)
+    S = jnp.moveaxis(S, 0, 1) * sens_corr
+    D_ref = np.asarray(mk.apply_masking_model(T, R, S, params))
+
+    assert D_k.shape == D_ref.shape
+    denom = max(1.0, np.abs(D_ref).max())
+    assert np.abs(D_k - D_ref).max() / denom < 2e-4, \
+        np.abs(D_k - D_ref).max()
+
+
+def test_band_fused_pooled_matches_lp_norm():
+    """pool_beta path: pooled lp_norm must match pooling the unpooled D."""
+    from colorvideovdp_tpu.ops import masking as mk
+    from colorvideovdp_tpu.ops.kernels.band_fused import make_band_fused
+
+    H, W, L = 88, 256, 2  # H off the tile grid: row masks matter
+    m, params, lut_rows, x0, x1, gi, gn = _band_fused_setup(H, W, L, seed=43)
+    gains = (1.0, 1.45, 1.0, 1.0)
+    gi5 = jnp.asarray(gi).reshape(1, 8, L, H, W)
+    gn5 = jnp.asarray(gn).reshape(1, 8, L, *gn.shape[-2:])
+
+    f_D = make_band_fused(lut_rows, x0, x1, gains, 1.0, params, False, 2.0,
+                          pool_beta=None)
+    D = f_D(gi5, gn5)
+    want = np.asarray(mk.lp_norm(D, 2.0, dim=(-2, -1), normalize=True,
+                                 keepdim=False))
+    f_Q = make_band_fused(lut_rows, x0, x1, gains, 1.0, params, False, 2.0,
+                          pool_beta=2.0)
+    got = np.asarray(f_Q(gi5, gn5))
+    assert np.abs(want - got).max() < 1e-5, np.abs(want - got).max()
+
+
+def test_band_fused_video_force_fused_parity():
+    """End-to-end: a W%256==0 clip routed through the opt-in mega-kernel
+    (use_band_mega + force_fused, interpret) must match the pure-XLA
+    metric."""
+    rng = np.random.RandomState(47)
+    H, W, N, fps = 96, 512, 5, 24
+    V_ref = np.repeat((rng.rand(H, W, 3, 1) * 255).astype(np.uint8), N,
+                      axis=3)
+    V_test = ((V_ref.astype(np.float32) / 255
+               + rng.randn(*V_ref.shape) * 0.05).clip(0, 1)
+              * 255).astype(np.uint8)
+    kw = dict(display_name="standard_4k", quiet=True)
+    m0 = cv.cvvdp(**kw)
+    Q0, _ = m0.predict(V_test, V_ref, dim_order="HWCF",
+                       frames_per_second=fps)
+    m1 = cv.cvvdp(**kw)
+    m1.force_fused = True
+    m1.use_band_mega = True
+    Q1, _ = m1.predict(V_test, V_ref, dim_order="HWCF",
+                       frames_per_second=fps)
+    assert abs(float(Q0) - float(Q1)) < 1e-4, (float(Q0), float(Q1))
+
+
 def test_loss_gradient_fused_matches_xla():
     """The fused kernels on the loss path (reduce, blur, raw masking,
     pooling) all carry custom VJPs; loss value and gradient must match the
