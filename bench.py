@@ -151,7 +151,34 @@ def _device_fps(m, V_test, V_ref, H, W, N, fps, reps=4):
         acc = q if acc is None else acc + q
     float(np.asarray(acc))
     stream_fps = blk * chain / (time.perf_counter() - t0)
-    return max(lat_fps, stream_fps), blk, fl
+
+    # Multi-block scan dispatch — the production fast path when no heatmap
+    # is requested (metrics/cvvdp.py _get_video_scan_step): K blocks per
+    # jit call via lax.scan, amortising the fixed per-dispatch cost that
+    # the per-block chain above pays on every call (~35 ms under the axon
+    # tunnel; measured fit t(blk) = 35 + 14.8*blk ms at 4K).
+    K = 4
+    sfn = m._get_video_scan_step(vs, "DKLd65", raw_t.shape, raw_t.dtype, K)
+    out = sfn(tails[0], tails[1], *([dt] * K), *([dr] * K))
+    float(np.asarray(out[0]).sum())
+    tails = [out[1], out[2]]
+    acc = None
+    t0 = time.perf_counter()
+    for i in range(chain):
+        out = sfn(tails[0], tails[1], *([dt + np.uint8(i % 2)] * K),
+                  *([dr] * K))
+        tails = [out[1], out[2]]
+        q = out[0].sum()
+        acc = q if acc is None else acc + q
+    float(np.asarray(acc))
+    scan_fps = blk * K * chain / (time.perf_counter() - t0)
+
+    detail = {
+        "per_block_dispatch_fps": round(max(lat_fps, stream_fps), 2),
+        "scan_dispatch_fps": round(scan_fps, 2),
+        "scan_group": K,
+    }
+    return max(lat_fps, stream_fps, scan_fps), blk, fl, detail
 
 
 def _shard_smoke():
@@ -310,7 +337,8 @@ def main():
     warm = time.time() - t0
     e2e_fps = N / warm
 
-    dev_fps, blk, fl = _device_fps(m, V_test, V_ref, H, W, N, fps)
+    dev_fps, blk, fl, fps_detail = _device_fps(m, V_test, V_ref, H, W, N,
+                                               fps)
 
     # Host decode throughput + the production e2e model. With the prefetch
     # thread (metrics/cvvdp.py:352, overlap proven by
@@ -351,6 +379,7 @@ def main():
         "hbm_gb_per_frame": round(gb_frame, 3),
         "achieved_gbps": round(achieved, 1),
         "pct_roofline": round(100.0 * achieved / V5E_HBM_GBPS, 1),
+        **fps_detail,
     }
 
     if grid:

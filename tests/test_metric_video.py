@@ -199,3 +199,63 @@ def test_time_varying_blur_matches_oracle(reference, wavy):
         Q_ref, _ = ref_m.predict(V_test, V_ref, dim_order="HWCF",
                                  frames_per_second=fps)
     assert abs(float(Q) - float(Q_ref)) < 2e-3, (float(Q), float(Q_ref))
+
+
+def test_scan_step_equals_per_block(wavy):
+    """The multi-block lax.scan dispatch (_get_video_scan_step) must match
+    the per-block dispatch exactly: same per-iteration program, tails as
+    the scan carry. Covers group dispatch + the <K leftover flush."""
+    crop = wavy[100:164, 200:296]  # 64x96
+    N, fps = 12, 30
+    V_ref = np.repeat(crop[..., np.newaxis], N, axis=3)
+    rng = np.random.RandomState(5)
+    V_test = ((V_ref.astype(np.float32) / 255
+               + rng.randn(*V_ref.shape) * 0.05).clip(0, 1) * 255
+              ).astype(np.uint8)
+
+    m = cv.cvvdp(display_name="standard_4k", quiet=True)
+    m.estimate_block_N = lambda p, n: 2  # 1 first + 5 steady: group(4)+1
+    Q_scan, _ = m.predict(V_test, V_ref, dim_order="HWCF",
+                          frames_per_second=fps)
+    assert any(k[0] == "video_scan" for k in m._block_fns), (
+        "scan path did not engage"
+    )
+
+    m2 = cv.cvvdp(display_name="standard_4k", quiet=True)
+    m2.estimate_block_N = lambda p, n: 2
+    m2.scan_group = 0
+    Q_blk, _ = m2.predict(V_test, V_ref, dim_order="HWCF",
+                          frames_per_second=fps)
+    assert not any(k[0] == "video_scan" for k in m2._block_fns)
+    assert abs(float(Q_scan) - float(Q_blk)) < 1e-6, (
+        float(Q_scan), float(Q_blk)
+    )
+
+
+def test_scan_step_fused_kernels_interpret(wavy):
+    """Pallas kernels (ingest + masking, interpret mode) inside the
+    lax.scan body: the fused route must survive scan tracing and match the
+    XLA per-block result."""
+    crop = wavy[100:164, 200:392]  # 64x192 (>=128-wide: kernels engage)
+    N, fps = 12, 30
+    V_ref = np.repeat(crop[..., np.newaxis], N, axis=3)
+    rng = np.random.RandomState(6)
+    V_test = ((V_ref.astype(np.float32) / 255
+               + rng.randn(*V_ref.shape) * 0.05).clip(0, 1) * 255
+              ).astype(np.uint8)
+
+    m = cv.cvvdp(display_name="standard_4k", quiet=True)
+    m.force_fused = True
+    m.estimate_block_N = lambda p, n: 2
+    Q_fused, _ = m.predict(V_test, V_ref, dim_order="HWCF",
+                           frames_per_second=fps)
+    assert any(k[0] == "video_scan" for k in m._block_fns)
+
+    m2 = cv.cvvdp(display_name="standard_4k", quiet=True)
+    m2.estimate_block_N = lambda p, n: 2
+    m2.scan_group = 0
+    Q_xla, _ = m2.predict(V_test, V_ref, dim_order="HWCF",
+                          frames_per_second=fps)
+    assert abs(float(Q_fused) - float(Q_xla)) < 2e-4, (
+        float(Q_fused), float(Q_xla)
+    )
