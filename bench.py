@@ -86,7 +86,7 @@ def _traffic_model(m, H, W, blk, fl):
             B += p * 8 * 4 + pq * 8 * 4  # reduce read + write
         else:
             B += (p * 8 * 4 + pq * 8 * 4) * 3  # XLA conv chain, ~3 passes
-        if w >= 512:  # fused masking route (min_w gate)
+        if w >= 360:  # fused masking route (min_w gate)
             B += pq * 8 * 4 + p * 8 * 4          # expand read + E write
             B += p * (8 + 8) * 4 + p * (4 + 4) * 4  # A-raw read gi+E, write
             if can_blur_transducer(4, h, w, m._masking_params().pu_kernel_size):
@@ -374,6 +374,14 @@ def main():
         "jod": round(float(np.asarray(Q).reshape(-1)[0]), 4),
         "cold_s": round(cold, 1),
         "compile_s": round(cold - warm, 1),
+        # Container honesty: a cold predict uploads the whole clip through
+        # the axon tunnel; at the measured warm tunnel rate that transfer
+        # alone accounts for this much of cold_s (production hosts have
+        # PCIe, not a tunnel — their cold start is compile + this at
+        # ~10 GB/s).
+        "cold_upload_gb": round(2 * 3 * H * W * N / 1e9, 2),
+        "cold_upload_s_at_warm_rate": round(
+            (2 * 3 * H * W * N / 2**20) / (mb / tunnel_warm_s), 1),
         "tunnel_first_put_mbps": round(mb / tunnel_first_s, 1),
         "tunnel_warm_put_mbps": round(mb / tunnel_warm_s, 1),
         "hbm_gb_per_frame": round(gb_frame, 3),

@@ -292,10 +292,9 @@ class cvvdp(vq_metric):
         # block) and only when at least one full group will form.
         scan_K = int(getattr(self, "scan_group", 0) or 0)
         if not is_image and use_fast and scan_K >= 2:
-            n_steady_full = max(0, (N_frames - block_N_frames)
-                                // block_N_frames)
+            n_full = N_frames // block_N_frames
             if (self.do_heatmap or self.dump_channels
-                    or n_steady_full < scan_K):
+                    or n_full < scan_K):
                 scan_K = 0
         else:
             scan_K = 0
@@ -403,11 +402,62 @@ class cvvdp(vq_metric):
                     prefetch[1].start()
                 else:
                     prefetch = None
-                if scan_K and ff > 0 and cur == block_N_frames:
-                    # Steady-state full block: queue; dispatch K at a time
-                    # through the scanned multi-block step.
-                    pending.append((self._put_flat(raw_t_np),
-                                    self._put_flat(raw_r_np)))
+                is_full = cur == block_N_frames
+                if (not is_full and raw_t_np.ndim == 5
+                        and not hasattr(vid_source, "unpack_raw_block")):
+                    # Pad the trailing partial block to the full block shape
+                    # by repeating its last frame: every block then runs the
+                    # same steady-state program — no per-clip-length
+                    # partial-shape compile. The padded frames' Q values are
+                    # trimmed below (per-block :cur slice / final
+                    # :N_frames slice for scanned groups); the tail after
+                    # the last block is never consumed. Packed raw layouts
+                    # (unpack_raw_block sources) keep their exact-shape
+                    # program — no frame axis to pad generically.
+                    pad_f = block_N_frames - raw_t_np.shape[1]
+                    if pad_f > 0:
+                        raw_t_np = np.concatenate(
+                            [raw_t_np,
+                             np.repeat(raw_t_np[:, -1:], pad_f, axis=1)],
+                            axis=1,
+                        )
+                        raw_r_np = np.concatenate(
+                            [raw_r_np,
+                             np.repeat(raw_r_np[:, -1:], pad_f, axis=1)],
+                            axis=1,
+                        )
+                        is_full = True
+                raw_t = self._put_flat(raw_t_np)
+                raw_r = self._put_flat(raw_r_np)
+                if ff == 0:
+                    # Initial DKL tails from the small tail-init program:
+                    # block 0 then runs the same steady-state step as every
+                    # other block (no specialised first-block program to
+                    # compile) and can join the scanned group below.
+                    if self.temp_padding == "replicate":
+                        tfn = self._get_tail_init_fn(
+                            vid_source, met_colorspace, raw_t_np.shape,
+                            raw_t_np.dtype, "replicate",
+                        )
+                        tails[0] = tfn(raw_t)
+                        tails[1] = tfn(raw_r)
+                    else:
+                        head_t_np = vid_source.get_raw_frame_list(
+                            "test", head_idx
+                        )
+                        head_r_np = vid_source.get_raw_frame_list(
+                            "reference", head_idx
+                        )
+                        tfn = self._get_tail_init_fn(
+                            vid_source, met_colorspace, head_t_np.shape,
+                            head_t_np.dtype, "symmetric",
+                        )
+                        tails[0] = tfn(self._put_flat(head_t_np))
+                        tails[1] = tfn(self._put_flat(head_r_np))
+                if scan_K and is_full:
+                    # Full (or padded-to-full) block: queue; dispatch K at a
+                    # time through the scanned multi-block step.
+                    pending.append((raw_t, raw_r))
                     pending_meta[0] = raw_t_np.shape
                     pending_meta[1] = raw_t_np.dtype
                     if len(pending) == scan_K:
@@ -430,23 +480,9 @@ class cvvdp(vq_metric):
                     _flush_pending()
                 fn = self._get_video_step(
                     vid_source, met_colorspace, raw_t_np.shape, raw_t_np.dtype,
-                    first=(ff == 0),
+                    first=False,
                 )
-                raw_t = self._put_flat(raw_t_np)
-                raw_r = self._put_flat(raw_r_np)
-                if ff == 0:
-                    if self.temp_padding == "replicate":
-                        out = fn(raw_t, raw_r)
-                    else:
-                        head_t = self._put_flat(
-                            vid_source.get_raw_frame_list("test", head_idx)
-                        )
-                        head_r = self._put_flat(
-                            vid_source.get_raw_frame_list("reference", head_idx)
-                        )
-                        out = fn(head_t, head_r, raw_t, raw_r)
-                else:
-                    out = fn(tails[0], tails[1], raw_t, raw_r)
+                out = fn(tails[0], tails[1], raw_t, raw_r)
                 (Q_per_ch_block, heatmap_block, context, tails[0], tails[1],
                  dump) = out
                 Q_per_ch_block = Q_per_ch_block[:, :, :cur]
@@ -513,6 +549,11 @@ class cvvdp(vq_metric):
             _flush_pending()
 
         Q_per_ch = jnp.concatenate(Q_blocks, axis=2) if len(Q_blocks) > 1 else Q_blocks[0]
+        if Q_per_ch.shape[2] > N_frames:
+            # Drop the replicate-padded trailing frames of a padded-to-full
+            # last block that went through a scanned group (per-block :cur
+            # trimming covers the single-step routes).
+            Q_per_ch = Q_per_ch[:, :, :N_frames]
 
         fps = vid_source.get_frames_per_second()
         if self.temp_resample:
@@ -904,6 +945,54 @@ class cvvdp(vq_metric):
         self._block_fns[key] = jfn
         return jfn
 
+    def _get_tail_init_fn(self, vid_source, met_colorspace, shape, dtype,
+                          mode):
+        """Synthesize the initial DKL temporal tails for the first block.
+
+        The tails carried between video block steps are nothing but the
+        last fl-1 display-encoded (DKL) frames, so the first block's
+        temporal padding can be expressed as a *tail*: ``replicate``
+        broadcasts frame 0 of the raw block, ``symmetric`` converts the
+        mirror-indexed head frames (uploaded separately, as before). With
+        the initial tails built by this small, fast-compiling program,
+        block 0 runs through the same steady-state step as every other
+        block — the specialised full-size first-block program (and its
+        compile, ~30 s at 4K) disappears from the cold path, and block 0
+        can join the scanned group dispatch.
+
+        ``shape`` is the raw buffer shape: the full block for
+        ``replicate`` (frame 0 is sliced on device after conversion — no
+        extra upload), the head-frame list shape for ``symmetric``."""
+        dm = vid_source.dm_photometry
+        rk = (vid_source.raw_block_key()
+              if hasattr(vid_source, "raw_block_key") else None)
+        key = ("tail_init", self._dm_key(dm), rk, met_colorspace, shape,
+               str(dtype), mode, self.filter_len)
+        if key in self._block_fns:
+            return self._block_fns[key]
+
+        fl = self.filter_len
+
+        if mode == "replicate":
+
+            def fn(raw):
+                # Convert the whole block and slice frame 0 in DKL space:
+                # raw layouts are source-specific (packed YUV has no
+                # (B, F, C, H, W) frame axis to slice before unpacking).
+                T = self._flat_to_met(dm, raw, shape, met_colorspace,
+                                      vid_source)
+                B, C, _, H, W = T.shape
+                return jnp.broadcast_to(T[:, :, 0:1], (B, C, fl - 1, H, W))
+        else:  # symmetric: head frames are real (mirror-indexed) frames
+
+            def fn(raw):
+                return self._flat_to_met(dm, raw, shape, met_colorspace,
+                                         vid_source)
+
+        jfn = jax.jit(fn)
+        self._block_fns[key] = jfn
+        return jfn
+
     def _get_video_scan_step(self, vid_source, met_colorspace, shape, dtype,
                              K):
         """K steady-state video blocks in ONE jit dispatch via ``lax.scan``
@@ -1093,12 +1182,17 @@ class cvvdp(vq_metric):
                     or (h_b % n_space == 0 and h_b // n_space >= 8
                         and gi_b.shape[0] == 1)
                 )
-                # Deep KB-sized bands stay on XLA: each Pallas instance is
+                # Tiny deep bands stay on XLA: each Pallas instance is
                 # another slow remote Mosaic compile for ~1% of the pixels.
-                # force_fused (the CPU interpret-mode test path) keeps the
-                # low threshold so kernel semantics stay covered.
+                # 360 admits the 480-wide band (270x480 at 4K == band 2 at
+                # 1080p — one cached Mosaic instance serves both) which the
+                # XLA chain ran at ~0.8 ms/frame vs ~0.25 fused; widths
+                # <= 240 are cheaper per band and wait for the stacked
+                # deep-band kernel. force_fused (the CPU interpret-mode
+                # test path) keeps the low threshold so kernel semantics
+                # stay covered.
                 force_f = getattr(self, "force_fused", False)
-                min_w = 128 if force_f else 512
+                min_w = 128 if force_f else 360
                 # Without a heatmap/dump consumer the spatial pooling
                 # fuses into the kernel too: the band's D tensor never
                 # reaches HBM.

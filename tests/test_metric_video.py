@@ -259,3 +259,29 @@ def test_scan_step_fused_kernels_interpret(wavy):
     assert abs(float(Q_fused) - float(Q_xla)) < 2e-4, (
         float(Q_fused), float(Q_xla)
     )
+
+
+def test_padded_partial_block_equals_whole_clip(wavy):
+    """The trailing partial block is padded to the full block shape
+    (repeat-last-frame, Q trimmed) so every block shares the steady-state
+    program; with the tail-init program the first block does too. Both the
+    scanned and single-step routes must match the one-block whole-clip
+    result exactly (the FIR is causal: padded frames cannot reach back)."""
+    crop = wavy[100:164, 200:296]
+    rng = np.random.RandomState(13)
+    for N, blk, scan in ((10, 4, 4), (3, 4, 0)):
+        V_ref = np.repeat(crop[..., np.newaxis], N, axis=3)
+        V_test = ((V_ref.astype(np.float32) / 255
+                   + rng.randn(*V_ref.shape) * 0.05).clip(0, 1) * 255
+                  ).astype(np.uint8)
+        m = cv.cvvdp(display_name="standard_4k", quiet=True)
+        m.estimate_block_N = lambda p, n, b=blk: b
+        m.scan_group = scan
+        Q_blk, _ = m.predict(V_test, V_ref, dim_order="HWCF",
+                             frames_per_second=30.0)
+        m2 = cv.cvvdp(display_name="standard_4k", quiet=True)
+        Q_whole, _ = m2.predict(V_test, V_ref, dim_order="HWCF",
+                                frames_per_second=30.0)
+        assert abs(float(Q_blk) - float(Q_whole)) < 1e-5, (
+            N, blk, scan, float(Q_blk), float(Q_whole)
+        )
