@@ -1149,10 +1149,76 @@ class cvvdp(vq_metric):
         else:
             B_bands, L_bkg_pyr = lpyr.decompose(R)
 
+        # Stacked deep-band kernel (ops/kernels/band_stack.py): the narrow
+        # interior bands below the per-band fused-route gate all run in ONE
+        # Mosaic instance — per-band LUT rows through SMEM, the blur as
+        # per-band matrices on the MXU, pooling in VMEM. Pooled scoring
+        # path only (heatmap/dump need the per-band D tensors).
+        stack_Q = {}
+        if raw_pairs and mesh is None and not self.do_heatmap:
+            force_f = getattr(self, "force_fused", False)
+            min_w_gate = 128 if force_f else 360
+            cand = []
+            for bb in range(1, n_bands - 1):
+                if not isinstance(B_bands[bb], tuple):
+                    continue
+                gi_b = B_bands[bb][0]
+                h_b, w_b = gi_b.shape[-2], gi_b.shape[-1]
+                if h_b >= 8 and w_b >= min_w_gate:
+                    continue  # per-band fused route takes it
+                cand.append(bb)
+            if len(cand) >= 2:
+                from ..ops.kernels.band_stack import (
+                    make_band_stack,
+                    plan_band_stack,
+                )
+                from ..ops.pyramid import gausspyr_expand
+
+                shapes_c = [
+                    (B_bands[bb][0].shape[-2], B_bands[bb][0].shape[-1])
+                    for bb in cand
+                ]
+                inc, _hp, _wp = plan_band_stack(shapes_c, all_ch)
+                if inc is not None:
+                    sel = [cand[i] for i in inc]
+                    shapes_sel = [shapes_c[i] for i in inc]
+                    luts_sel = np.stack([
+                        np.stack([
+                            self.csf.logS_of_logL(
+                                float(rho_band[bb]),
+                                self.omega[0 if cc < 3 else 1],
+                                cc if cc < 3 else 0,
+                            )
+                            for cc in range(all_ch)
+                        ])
+                        for bb in sel
+                    ])
+                    gi_list, E_list = [], []
+                    for bb in sel:
+                        gi_b, gn_b = B_bands[bb]
+                        E_list.append(gausspyr_expand(
+                            gn_b, (gi_b.shape[-2], gi_b.shape[-1])
+                        ))
+                        gi_list.append(gi_b)
+                    fstack = make_band_stack(
+                        luts_sel, float(self.csf.log_L_bkg[0]),
+                        float(self.csf.log_L_bkg[-1]),
+                        np.array([1.0, 1.45, 1.0, 1.0],
+                                 np.float32)[:all_ch],
+                        sens_corr, params,
+                        self.contrast.endswith("ref"), 2.0,
+                        float(self.beta), shapes_sel,
+                    )
+                    for bb, q in zip(sel, fstack(gi_list, E_list)):
+                        stack_Q[bb] = q
+
         Q_cols = []
         hm_bands = [None] * n_bands
         dump_D = [] if self.dump_channels else None
         for bb in range(n_bands):
+            if bb in stack_Q:
+                Q_cols.append(stack_Q[bb])
+                continue
             is_baseband = bb == n_bands - 1
             raw_band = isinstance(B_bands[bb], tuple)
             mul_band = 1.0 if (bb == 0 or is_baseband) else 2.0

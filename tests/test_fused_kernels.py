@@ -345,3 +345,84 @@ def test_loss_gradient_fused_matches_xla():
     g0, g1 = np.asarray(g0), np.asarray(g1)
     denom = np.abs(g0).max()
     assert denom > 0 and np.abs(g0 - g1).max() / denom < 1e-3
+
+
+def test_band_stack_kernel_matches_jnp_chain():
+    """The stacked deep-band kernel (interpret): per-band SMEM LUT
+    coefficients, matrix-form phase-uncertainty blur on the MXU path, and
+    in-kernel pooling must match the per-band jnp chain, including a band
+    small enough that the blur is statically skipped (identity matrices)."""
+    from colorvideovdp_tpu.ops.kernels.band_stack import (
+        make_band_stack,
+        plan_band_stack,
+    )
+
+    m = cv.cvvdp(display_name="standard_4k", quiet=True)
+    params = m._masking_params()
+    C = 4
+    shapes = [(34, 60), (17, 30), (9, 15), (5, 8)]  # (5,8): blur skipped
+    inc, hp, wp = plan_band_stack(shapes, C)
+    assert inc == [0, 1, 2, 3] and hp == 40 and wp == 128
+
+    rho = [1.5, 0.75, 0.38, 0.19]
+    luts = np.stack([
+        np.stack([m.csf.logS_of_logL(r, m.omega[0 if cc < 3 else 1],
+                                     cc if cc < 3 else 0)
+                  for cc in range(C)])
+        for r in rho
+    ])
+    x0, x1 = float(m.csf.log_L_bkg[0]), float(m.csf.log_L_bkg[-1])
+    gains = np.array([1.0, 1.45, 1.0, 1.0], np.float32)
+
+    rng = np.random.RandomState(2)
+    B, F = 1, 3
+    gi_list, E_list = [], []
+    for h, w in shapes:
+        base = 30.0 + 20.0 * rng.rand(B, 2 * C, F, h, w).astype(np.float32)
+        gi_list.append(jnp.asarray(base))
+        E_list.append(jnp.asarray(
+            base + rng.randn(B, 2 * C, F, h, w).astype(np.float32)))
+
+    fused = make_band_stack(luts, x0, x1, gains, 1.23, params, False, 2.0,
+                            float(m.beta), shapes, interpret=True)
+    out_k = fused(gi_list, E_list)
+
+    # Reference: the exact per-band jnp chain the generic path runs.
+    from colorvideovdp_tpu.ops import masking as mk
+    from colorvideovdp_tpu.ops.kernels import csf_lut as _cl
+
+    for i, (h, w) in enumerate(shapes):
+        gi, E = gi_list[i], E_list[i]
+        lb_r = jnp.clip(E[:, 1:2], 0.01, None)
+        lb_t = jnp.clip(E[:, 0:1], 0.01, None)
+        T = jnp.clip((gi[:, 0::2] - E[:, 0::2]) / lb_t, None, 1000.0) * 2.0
+        R = jnp.clip((gi[:, 1::2] - E[:, 1::2]) / lb_r, None, 1000.0) * 2.0
+        S = _cl._jnp_lookup(jnp.log10(lb_r[:, 0]), luts[i], x0, x1)
+        S = jnp.moveaxis(S, 0, 1) * 1.23
+        D = mk.apply_masking_model(T, R, S, params)
+        q_ref = np.asarray(mk.lp_norm(D, float(m.beta), dim=(-2, -1),
+                                      normalize=True, keepdim=False))
+        q_k = np.asarray(out_k[i])
+        assert q_k.shape == q_ref.shape
+        err = np.abs(q_k - q_ref).max()
+        assert err < 5e-5 * max(1.0, np.abs(q_ref).max()), (i, err)
+
+
+def test_band_stack_video_force_fused_parity():
+    """End-to-end: the stacked deep-band route (force_fused, interpret)
+    must match the pure-XLA scoring of the same clip."""
+    rng = np.random.RandomState(6)
+    H, W, N = 64, 192, 8
+    V_ref = rng.randint(0, 255, (H, W, 3, N), dtype=np.uint8)
+    V_test = np.clip(
+        V_ref.astype(np.int16) + (rng.randn(H, W, 3, N) * 10).astype(np.int16),
+        0, 255,
+    ).astype(np.uint8)
+
+    m1 = cv.cvvdp(display_name="standard_fhd", quiet=True)
+    m1.force_fused = True
+    Q1, _ = m1.predict(V_test, V_ref, dim_order="HWCF", frames_per_second=30.0)
+
+    m2 = cv.cvvdp(display_name="standard_fhd", quiet=True)
+    Q2, _ = m2.predict(V_test, V_ref, dim_order="HWCF", frames_per_second=30.0)
+    assert abs(float(Q1) - float(Q2)) < 2e-4, (float(Q1), float(Q2))
