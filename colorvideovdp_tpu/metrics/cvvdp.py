@@ -366,7 +366,7 @@ class cvvdp(vq_metric):
             elif use_fast:
                 # Fast path: contiguous zero-copy block slice on the host, one
                 # flat DMA per source, one fused jit call per block; the
-                # temporal halo (fl-1 DKL frames) is donated device state.
+                # temporal halo (fl-1 DKL frames) stays device-resident.
                 # Decode is prefetched one block ahead on a worker thread
                 # (the producer/consumer split the reference gets from its
                 # ffmpeg subprocess, SURVEY §2.9).
@@ -813,7 +813,7 @@ class cvvdp(vq_metric):
         """Fused video block step: dtype conversion, display model, temporal
         FIR, pyramid, CSF, masking and pooling in one jit call per block.
         The first block assembles its temporal-padding head in-graph; later
-        blocks carry the DKL temporal halo as donated device state."""
+        blocks carry the DKL temporal halo as device-resident state."""
         dm = vid_source.dm_photometry
         rk = vid_source.raw_block_key() if hasattr(vid_source, "raw_block_key") else None
         padding = self.temp_padding if first else "-"
@@ -885,7 +885,14 @@ class cvvdp(vq_metric):
                                                       is_image=False)
                     return Q, hm, Rfull[:, 0], new_t, new_r, dump
 
-                jfn = jax.jit(fn, donate_argnums=(0, 1))
+                # NOTE: tails are deliberately NOT donated. Donation
+                # aliases the tail outputs onto the inputs, and the ingest
+                # custom call both reads the old tails and writes the new
+                # ones, so XLA breaks the in-place hazard by COPYING both
+                # 796 MB inputs every step (profiled: copy.280/281,
+                # 10 ms/step at 4K — docs/step_profile.md). The extra
+                # 1.6 GB liveness is cheaper than the copies.
+                jfn = jax.jit(fn)
 
             self._block_fns[key] = jfn
             return jfn
@@ -940,7 +947,10 @@ class cvvdp(vq_metric):
                 R_buf = jnp.concatenate([tail_r, R_new], axis=2)
                 return core(T_buf, R_buf)
 
-            jfn = jax.jit(fn, donate_argnums=(0, 1))
+            # Tails not donated: aliasing the tail outputs onto the inputs
+            # makes XLA insert full-tensor hazard copies (see the ingest
+            # branch above / docs/step_profile.md).
+            jfn = jax.jit(fn)
 
         self._block_fns[key] = jfn
         return jfn
@@ -1012,8 +1022,9 @@ class cvvdp(vq_metric):
         test buffers then K flat reference buffers (the `_put_flat` layout);
         returns ``(Q, tail_t, tail_r)`` with Q shaped (B, C, K*blk, bands).
         Heatmap/dump consumers are per-block host work and are gated off by
-        the caller. Only the tails are donated: the raw uint8 inputs can
-        never alias an output buffer (no uint8 outputs exist)."""
+        the caller. Nothing is donated: tail donation provokes XLA
+        hazard copies (docs/step_profile.md) and the uint8 raws can never
+        alias an output anyway."""
         dm = vid_source.dm_photometry
         rk = (vid_source.raw_block_key()
               if hasattr(vid_source, "raw_block_key") else None)
@@ -1082,7 +1093,9 @@ class cvvdp(vq_metric):
             Q = jnp.moveaxis(Qs, 0, 2).reshape(B, C, Kk * blk, nb)
             return Q, t_t, t_r
 
-        jfn = jax.jit(fn, donate_argnums=(0, 1))
+        # Tails not donated — same hazard-copy reasoning as
+        # _get_video_step (docs/step_profile.md).
+        jfn = jax.jit(fn)
         self._block_fns[key] = jfn
         return jfn
 

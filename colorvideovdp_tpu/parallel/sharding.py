@@ -188,6 +188,7 @@ def shard_video_fn(metric, vid_source, met_colorspace, raw_shape, dtype,
         return core(jnp.concatenate([tail_t, T_new], axis=2),
                     jnp.concatenate([tail_r, R_new], axis=2))
 
+    # Tails not donated: output-onto-input aliasing makes XLA insert
+    # full-tensor hazard copies (docs/step_profile.md).
     return jax.jit(fn, in_shardings=(v_sh, v_sh, v_sh, v_sh),
-                   out_shardings=(out_sh, v_sh, v_sh),
-                   donate_argnums=(0, 1))
+                   out_shardings=(out_sh, v_sh, v_sh))
