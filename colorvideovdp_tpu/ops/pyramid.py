@@ -227,14 +227,22 @@ def _expand_1d(x, axis: int, exp_size: int):
           + (2.0 * float(K5[4])) * sl(xp, 2, 2 + n_even))
     od = ((2.0 * float(K5[1])) * sl(xp, 1, 1 + n_odd)
           + (2.0 * float(K5[3])) * sl(xp, 2, 2 + n_odd))
-    st = jnp.stack([sl(ev, 0, n_odd) if n_even > n_odd else ev, od],
-                   axis=ax + 1)
-    sh = list(x.shape)
-    sh[ax] = 2 * n_odd
-    out = st.reshape(sh)
-    if n_even > n_odd:
-        out = jnp.concatenate([out, sl(ev, n_even - 1, n_even)], axis=ax)
-    return out
+    # Phase interleave via INTERIOR padding: [e0,0,e1,0,..] + [0,o0,0,..].
+    # The stack(axis+1)+reshape form lowers on TPU to a kLoop fusion
+    # writing an exotic layout (trailing interleave dim minor) followed by
+    # TWO full-tensor relayout copies (profiled at ~10 ms/step for band 0
+    # at 4K — docs/step_profile.md); interior-pad + add keeps the natural
+    # layout end to end. The inserted zeros make the sum bit-exact.
+    zero = jnp.zeros((), x.dtype)
+    cfg_e = [(0, 0, 0)] * x.ndim
+    cfg_o = [(0, 0, 0)] * x.ndim
+    if n_even > n_odd:  # odd output length: ev at 0..2k.., od at 1..2k+1
+        cfg_e[ax] = (0, 0, 1)
+        cfg_o[ax] = (1, 1, 1)
+    else:
+        cfg_e[ax] = (0, 1, 1)
+        cfg_o[ax] = (1, 0, 1)
+    return lax.pad(ev, zero, cfg_e) + lax.pad(od, zero, cfg_o)
 
 
 def gausspyr_expand(x, sz=None):

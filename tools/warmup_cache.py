@@ -70,15 +70,25 @@ def seed_one(display, W, H, fps=30.0):
     shape = (1, blk, 3, H, W)
     raw_sd = jax.ShapeDtypeStruct(shape, jnp.uint8)
     tail_sd = jax.ShapeDtypeStruct((1, 3, fl - 1, H, W), jnp.float32)
-    head_sd = jax.ShapeDtypeStruct((1, fl - 1, 3, H, W), jnp.uint8)
 
     steady = m._get_video_step(vs, "DKLd65", shape, np.uint8, first=False)
     steady.lower(tail_sd, tail_sd, raw_sd, raw_sd).compile()
-    first = m._get_video_step(vs, "DKLd65", shape, np.uint8, first=True)
-    if m.temp_padding == "replicate":
-        first.lower(raw_sd, raw_sd).compile()
-    else:
-        first.lower(head_sd, head_sd, raw_sd, raw_sd).compile()
+    # predict's first block uses the tail-init program + the steady step
+    # (the specialised first-block program no longer exists on that path);
+    # warm the scanned multi-block program too.
+    tinit = m._get_tail_init_fn(vs, "DKLd65", shape, np.uint8, "replicate")
+    flat_sd = jax.ShapeDtypeStruct((int(np.prod(shape)),), jnp.uint8)
+    tinit.lower(flat_sd).compile()
+    if m.temp_padding == "symmetric":
+        thead = m._get_tail_init_fn(vs, "DKLd65",
+                                    (1, fl - 1, 3, H, W), np.uint8,
+                                    "symmetric")
+        head_flat = jax.ShapeDtypeStruct(((fl - 1) * 3 * H * W,), jnp.uint8)
+        thead.lower(head_flat).compile()
+    K = int(getattr(m, "scan_group", 0) or 0)
+    if K >= 2:
+        sfn = m._get_video_scan_step(vs, "DKLd65", shape, np.uint8, K)
+        sfn.lower(tail_sd, tail_sd, *([flat_sd] * (2 * K))).compile()
     img_shape = (1, 1, 3, H, W)
     img = m._get_image_step(vs, "DKLd65", img_shape, np.uint8)
     img_sd = jax.ShapeDtypeStruct(img_shape, jnp.uint8)
