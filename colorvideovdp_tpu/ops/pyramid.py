@@ -175,35 +175,6 @@ def gausspyr_reduce(x):
     return _xla_reduce(x)
 
 
-def _interleave_zeros_and_pad(x, exp_size: int, axis: int):
-    """Zero-interleave along ``axis`` to ``exp_size`` + 4 border samples
-    (reference: lpyr_dec.py:129-145). Built from stack/concat reshapes along
-    the native axis — scatter- and transpose-free."""
-    nd = x.ndim
-    ax = axis % nd
-    n = x.shape[ax]
-    assert 2 * n in (exp_size, exp_size + 1), (n, exp_size)
-    zeros = jnp.zeros_like(x)
-
-    def interleave(a, b):
-        # (..., n, ...) pair -> (..., 2n, ...) along ax
-        st = jnp.stack([a, b], axis=ax + 1)
-        sh = list(a.shape)
-        sh[ax] = a.shape[ax] * 2
-        return st.reshape(sh)
-
-    def sl(a, start, stop):
-        return lax.slice_in_dim(a, start, stop, axis=ax)
-
-    inter = interleave(x, zeros)
-    head = interleave(sl(x, 0, 1), sl(zeros, 0, 1))
-    if exp_size % 2 == 0:
-        tail = interleave(sl(x, n - 1, n), sl(zeros, n - 1, n))
-    else:
-        tail = sl(x, n - 1, n)
-    return jnp.concatenate([head, inter, tail], axis=ax)
-
-
 def _expand_1d(x, axis: int, exp_size: int):
     """Zero-interleaved upsample + 5-tap valid conv, evaluated in polyphase
     form: even outputs y[2i] = 2(K0 xp[i] + K2 xp[i+1] + K4 xp[i+2]), odd
