@@ -349,6 +349,11 @@ def main():
 
     vs_d = video_source_array(V_test, V_ref, fps, dim_order="HWCF",
                               display_photometry=m.display_photometry)
+    # Warm the sources first: the array source pays a one-time whole-clip
+    # frame-major reshuffle on first touch; decode_fps is the STEADY-state
+    # block supply rate the prefetch thread sustains.
+    for which in ("test", "reference"):
+        vs_d.get_raw_block(which, 0, 1)
     t0 = time.time()
     for which in ("test", "reference"):
         vs_d.get_raw_block(which, 0, min(blk, N))

@@ -317,3 +317,36 @@ def test_cv2_high_bitdepth_decode_ceiling(tmp_path):
             continue
         raise AssertionError(
             f"{mod} is now available - use it for >8-bit mp4 decode")
+
+
+def test_yuv_source_scan_step_equals_per_block(tmp_path):
+    """Packed (unpack_raw_block) sources through the multi-block scanned
+    dispatch: the in-graph YUV unpack must trace inside the lax.scan body
+    and match per-block dispatch exactly. Also covers the no-padding rule
+    for packed raw layouts (the trailing partial block keeps its exact
+    shape)."""
+    H, W, N = 32, 48, 13  # 13 = 6 full blocks of 2 + a partial 1
+    rng = np.random.RandomState(3)
+    with open(str(tmp_path / f"c_{W}x{H}p30_420_8bit_sdr.yuv"), "wb") as f:
+        for _ in range(N):
+            f.write(rng.randint(16, 236, (H, W), np.uint8).tobytes())
+            f.write(rng.randint(16, 241, (H // 2, W // 2), np.uint8).tobytes())
+            f.write(rng.randint(16, 241, (H // 2, W // 2), np.uint8).tobytes())
+    fname = str(tmp_path / f"c_{W}x{H}p30_420_8bit_sdr.yuv")
+
+    import colorvideovdp_tpu as cv
+    from colorvideovdp_tpu.io.yuv import video_source_yuv_file
+
+    def score(scan):
+        vs = video_source_yuv_file(fname, fname,
+                                   display_photometry="standard_fhd")
+        m = cv.cvvdp(display_name="standard_fhd", quiet=True)
+        m.estimate_block_N = lambda p, n: 2
+        m.scan_group = scan
+        Q, _ = m.predict_video_source(vs)
+        return float(Q), m
+
+    q_scan, m1 = score(4)
+    assert any(k[0] == "video_scan" for k in m1._block_fns)
+    q_blk, _ = score(0)
+    assert abs(q_scan - q_blk) < 1e-6, (q_scan, q_blk)
