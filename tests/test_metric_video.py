@@ -285,3 +285,28 @@ def test_padded_partial_block_equals_whole_clip(wavy):
         assert abs(float(Q_blk) - float(Q_whole)) < 1e-5, (
             N, blk, scan, float(Q_blk), float(Q_whole)
         )
+
+
+def test_scan_symmetric_padding_equals_per_block(wavy):
+    """Symmetric temporal padding through the scanned dispatch: the
+    tail-init program converts the mirror-indexed head frames, then every
+    block (incl. block 0) runs the steady program; must equal the
+    per-block dispatch exactly."""
+    crop = wavy[100:148, 200:280]
+    N, fps = 12, 30
+    V_ref = np.repeat(crop[..., np.newaxis], N, axis=3)
+    rng = np.random.RandomState(17)
+    V_test = ((V_ref.astype(np.float32) / 255
+               + rng.randn(*V_ref.shape) * 0.05).clip(0, 1) * 255
+              ).astype(np.uint8)
+
+    def score(scan):
+        m = cv.cvvdp(display_name="standard_4k", quiet=True,
+                     temp_padding="symmetric")
+        m.estimate_block_N = lambda p, n: 2
+        m.scan_group = scan
+        Q, _ = m.predict(V_test, V_ref, dim_order="HWCF",
+                         frames_per_second=fps)
+        return float(Q)
+
+    assert abs(score(4) - score(0)) < 1e-6
