@@ -54,16 +54,44 @@ def shard_scoring_fn(metric, vid_source, met_colorspace, raw_shape, dtype,
     """
     dm = vid_source.dm_photometry
 
+    # With a single image pair on an all-"space" mesh the fused Pallas
+    # kernels stay enabled and run per shard via shard_map (the same route
+    # the sharded VIDEO step uses, metrics/cvvdp.py:_process_block) —
+    # VERDICT r2 measured the kernel-less trace at 2.03x the fused step at
+    # 1080p. Batched pairs (B > 1) or heatmap traces keep the pure-XLA
+    # path: the kernels' shard_map reshape folds the batch axis into the
+    # frame axis, which would reshard a batch-sharded tensor.
+    n_sp = int(mesh.shape["space"])
+    use_kernels = (
+        int(raw_shape[0]) == 1
+        and int(mesh.shape["batch"]) == 1
+        and not metric.do_heatmap
+        and getattr(metric, "enable_fused_kernels", True)
+    )
+
+    def _reshard_hint(x):
+        if x.shape[-2] >= 8 * n_sp:
+            spec = P("batch", None, None, "space", None)
+        else:
+            spec = P("batch")
+        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
     def fn(raw_t, raw_r):
-        # GSPMD cannot partition Pallas custom calls; trace the pure-XLA path
-        # so the pyramid halos / pooling psums shard cleanly. The flag is
+        # GSPMD cannot partition Pallas custom calls: either wrap them in
+        # shard_map (use_kernels) or trace the pure-XLA path. Flags are
         # restored after tracing — sharded use must not disable the fused
         # kernels for later single-chip scoring on the same metric object.
         from ..ops import pyramid as _pyr
 
         saved = getattr(metric, "enable_fused_kernels", True)
+        saved_mesh = getattr(metric, "sharding_mesh", None)
+        saved_hint = metric.lpyr.reshard_hint
         saved_red = _pyr.FORCE_XLA
-        metric.enable_fused_kernels = False
+        if use_kernels:
+            metric.sharding_mesh = mesh
+            metric.lpyr.reshard_hint = _reshard_hint
+        else:
+            metric.enable_fused_kernels = False
         _pyr.FORCE_XLA = True
         try:
             # Inputs arrive shaped (B, F, C, H, W); reshape(shape) is a no-op
@@ -87,6 +115,8 @@ def shard_scoring_fn(metric, vid_source, met_colorspace, raw_shape, dtype,
             return Q, hm
         finally:
             metric.enable_fused_kernels = saved
+            metric.sharding_mesh = saved_mesh
+            metric.lpyr.reshard_hint = saved_hint
             _pyr.FORCE_XLA = saved_red
 
     in_sh = image_pair_sharding(mesh)

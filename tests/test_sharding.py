@@ -66,3 +66,42 @@ def test_entry_compiles():
     out = fn(*args)
     Q = np.asarray(out[0])
     assert np.all(np.isfinite(Q))
+
+
+def test_sharded_image_kernels_match_single():
+    """B=1 image pair on an all-"space" mesh: the fused Pallas kernels stay
+    enabled (shard_map per shard, interpret mode here) instead of the
+    2.03x-slower kernel-less XLA trace; must match single-device scoring."""
+    import jax
+    from jax.sharding import Mesh
+
+    from colorvideovdp_tpu.io.video_source import video_source_array
+    from colorvideovdp_tpu.parallel.sharding import (
+        image_pair_sharding,
+        shard_scoring_fn,
+    )
+
+    n = min(8, len(jax.devices()))
+    mesh = Mesh(np.array(jax.devices()[:n]).reshape(1, n),
+                ("batch", "space"))
+
+    H, W = 8 * n, 192
+    rng = np.random.RandomState(2)
+    test = rng.randint(0, 255, (H, W, 3), dtype=np.uint8)
+    ref = rng.randint(0, 255, (H, W, 3), dtype=np.uint8)
+
+    m = cv.cvvdp(display_name="standard_4k", quiet=True)
+    m.force_fused = True  # interpret-mode Pallas on the CPU mesh
+    m._ensure_pyramids(W, H)
+    vs = video_source_array(test, ref, 0, dim_order="HWC",
+                            display_photometry=m.display_photometry)
+    raw_t = vs.get_raw_block("test", 0, 1)
+    raw_r = vs.get_raw_block("reference", 0, 1)
+    fn = shard_scoring_fn(m, vs, "DKLd65", raw_t.shape, raw_t.dtype, mesh)
+    sh = image_pair_sharding(mesh)
+    Q_sh, _hm = fn(jax.device_put(raw_t, sh), jax.device_put(raw_r, sh))
+    Q_sharded = float(np.asarray(m.do_pooling_and_jods(Q_sh)))
+
+    m1 = cv.cvvdp(display_name="standard_4k", quiet=True)
+    Q1, _ = m1.predict(test, ref, dim_order="HWC")
+    assert abs(Q_sharded - float(Q1)) < 2e-4, (Q_sharded, float(Q1))
