@@ -5,6 +5,21 @@ __version__ = "0.5.6-tpu0"
 
 import os as _os
 
+# Honor an explicit JAX_PLATFORMS env var. Some environments register a TPU
+# PJRT plugin from sitecustomize at interpreter startup and programmatically
+# set jax.config.jax_platforms, which silently overrides the env var the
+# caller set (e.g. a CPU-only subprocess in the tests). Re-applying the env
+# value here restores the documented jax contract: the env var wins. No-op
+# when the env var is unset or a backend is already live.
+if _os.environ.get("JAX_PLATFORMS"):
+    try:
+        import jax as _jax_p
+
+        if _jax_p.config.jax_platforms != _os.environ["JAX_PLATFORMS"]:
+            _jax_p.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:  # pragma: no cover - backend already initialised
+        pass
+
 # Persistent XLA compilation cache: pipeline graphs are large (unrolled
 # pyramid + CSF) and cold compiles are expensive; cache them across processes.
 # JAX_COMPILATION_CACHE_DIR overrides the default location (this jaxlib does
