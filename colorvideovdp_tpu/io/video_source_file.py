@@ -1,9 +1,12 @@
 """File-backed video/image sources.
 
 TPU-native equivalent of the reference's ffmpeg-pipe sources (reference:
-pycvvdp/video_source_file.py). This environment has no ffmpeg binary; video
-decode uses OpenCV's bundled FFmpeg (`cv2.VideoCapture`), images use
-PIL/imageio/cv2 (EXR/Radiance .hdr via cv2.imread IMREAD_UNCHANGED).
+pycvvdp/video_source_file.py). Video decode prefers the native codec core
+(native/cvvdp_codec.cpp via io/ffcodec.py — in-process libavcodec, full
+8/10/12-bit planar YUV with on-device colour conversion) and falls back to
+OpenCV's bundled FFmpeg (`cv2.VideoCapture`, 8-bit RGB ceiling) when the
+library is not built. Images use PIL/imageio/cv2 (EXR/Radiance .hdr via
+cv2.imread IMREAD_UNCHANGED).
 
 Decoded frames stream into the metric through the raw-block protocol
 (`get_raw_block`): the host decodes a block of frames into one contiguous
@@ -203,14 +206,18 @@ class video_source_video_file(video_source_dm):
         self.N_frames = min(t.frames, r.frames)
         if getattr(self.dm_photometry, "EOTF", None) == "PQ":
             # Decode honesty (reference decodes 10/12-bit via rawvideo
-            # rgb48le, video_source_file.py:127-149; this image's only
-            # decoder is OpenCV, which returns uint8). Scoring PQ content
-            # through an 8-bit decode silently quantizes HDR — always warn.
+            # rgb48le, video_source_file.py:127-149; OpenCV returns uint8).
+            # This class is the FALLBACK reader — the native codec route
+            # (video_source_codec_file) decodes >8-bit content at full
+            # precision and is preferred whenever native/libcvvdp_codec.so
+            # is built. Scoring PQ content through an 8-bit decode silently
+            # quantizes HDR — always warn.
             logging.warning(
-                "PQ display model with mp4 input: this build decodes mp4 at "
-                "8 bits/channel (OpenCV); >8-bit HDR content will be "
-                "quantized. For full-precision HDR use raw .yuv (10-bit "
-                "supported) or EXR frame sequences."
+                "PQ display model with mp4 input through the OpenCV "
+                "fallback reader: decode is capped at 8 bits/channel; "
+                ">8-bit HDR content will be quantized. Build the native "
+                "codec core (make -C native) for full-precision mp4 "
+                "decode, or use raw .yuv / EXR frame sequences."
             )
         self._initialized = True
 
@@ -476,6 +483,194 @@ class video_source_matlab(video_source_dm):
         return self.apply_dm_and_color_transform(jnp.asarray(raw), colorspace)
 
 
+class format_mismatch_error(Exception):
+    """Test/reference streams decode to different planar layouts — the
+    shared per-block unpack program cannot serve both."""
+
+
+class video_source_codec_file(video_source_dm):
+    """Pair of video files decoded natively to planar YUV (io/ffcodec.py;
+    native/cvvdp_codec.cpp) with all pixel math on the device.
+
+    The TPU-native counterpart of the reference's ffmpeg rawvideo pipe
+    (reference: video_source_file.py:122-198): the host hands packed
+    native-depth planes to the metric's per-block jit, which does the
+    fixed-point scaling (limited or full range), half-pixel bilinear chroma
+    upsample and the BT.601/709/2020 YCbCr->RGB matrix selected from the
+    stream metadata, at fp32 — full >8-bit support (the decode route the
+    OpenCV fallback caps at uint8).
+    """
+
+    def __init__(self, test_fname, reference_fname,
+                 display_photometry="sdr_4k_30", config_paths=None,
+                 frames=-1, full_screen_resize=None, resize_resolution=None,
+                 ffmpeg_cc=False, verbose=False, preload=False):
+        super().__init__(display_photometry=display_photometry,
+                         config_paths=config_paths)
+        from . import ffcodec
+
+        self.reader = {
+            "test": ffcodec.CodecVideoReader(test_fname, frames),
+            "reference": ffcodec.CodecVideoReader(reference_fname, frames),
+        }
+        t, r = self.reader["test"], self.reader["reference"]
+        key_t = (t.bit_depth, t.chroma_ss, t.color_space, t.color_range_full)
+        key_r = (r.bit_depth, r.chroma_ss, r.color_space, r.color_range_full)
+        if key_t != key_r:
+            raise format_mismatch_error(
+                f"test {key_t} vs reference {key_r}"
+            )
+        if t.avg_fps != r.avg_fps:
+            raise vq_exception(
+                "Test and reference videos have different frame rates. "
+                "Use --temp-resample to resample to a common frame rate."
+            )
+        if (t.width, t.height) != (r.width, r.height):
+            raise vq_exception(
+                "Test and reference videos have different resolutions"
+            )
+        if t.frames != r.frames:
+            logging.warning(
+                f"Test and reference videos have different number of frames "
+                f"({t.frames} vs {r.frames}). Comparing "
+                f"{min(t.frames, r.frames)} frames."
+            )
+        self.N_frames = min(t.frames, r.frames)
+        self.full_screen_resize = full_screen_resize
+        self.resize_resolution = resize_resolution
+        self._head_cache = {}
+        self._preloaded = {} if preload else None
+
+    def get_video_size(self):
+        if self.full_screen_resize is not None:
+            return (self.resize_resolution[1], self.resize_resolution[0],
+                    self.N_frames)
+        t = self.reader["test"]
+        return (t.height, t.width, self.N_frames)
+
+    def get_frames_per_second(self):
+        return self.reader["test"].avg_fps
+
+    # Raw-block streaming protocol --------------------------------------
+
+    def get_raw_block(self, which, start, count):
+        if self._preloaded is not None:
+            src = self._preload(which)
+            end = min(start + count, self.N_frames)
+            block = src[start:end]
+            if end - start < count:
+                block = np.concatenate(
+                    [block, np.repeat(block[-1:], count - (end - start),
+                                      axis=0)], axis=0)
+            return block[None]
+        return self.reader[which].get_packed_frames(start, count)[None]
+
+    def _preload(self, which):
+        if which not in self._preloaded:
+            self._preloaded[which] = self.reader[which].get_packed_frames(
+                0, self.N_frames
+            )
+        return self._preloaded[which]
+
+    def get_raw_frame_list(self, which, indices):
+        """Arbitrary small frame sets (symmetric-padding heads). The indices
+        lie within the first filter-length frames: decode them once, cache,
+        and rewind so the sequential block reads still start at 0."""
+        if self._preloaded is not None:
+            src = self._preload(which)
+            return np.stack([src[i] for i in indices])[None]
+        need = max(indices) + 1
+        if (which, need) not in self._head_cache:
+            rd = self.reader[which]
+            frames = rd.get_packed_frames(0, need)
+            rd.seek_to_start()
+            self._head_cache[(which, need)] = frames
+        frames = self._head_cache[(which, need)]
+        return np.stack([frames[i] for i in indices])[None]
+
+    def raw_block_key(self):
+        rd = self.reader["test"]
+        return ("codec", rd.width, rd.height, rd.bit_depth, rd.chroma_ss,
+                rd.color_space, rd.color_range_full, self.full_screen_resize,
+                tuple(self.resize_resolution or ()))
+
+    def unpack_raw_block(self, x):
+        """In-graph: packed planar (B, F, frame_pixels) -> display-encoded
+        RGB (B, 3, F, H, W). Same device-side pipeline as the .yuv source
+        (io/yuv.py:234-282) but with the range (limited/full) and the true
+        colour matrix taken from the stream metadata — matching what the
+        reference's ffmpeg pipe bakes into rgb24/rgb48le."""
+        import jax
+        import jax.numpy as jnp
+
+        from .ffcodec import ycbcr_to_rgb_matrix
+
+        rd = self.reader["test"]
+        B, F = x.shape[0], x.shape[1]
+        H, W = rd.y_shape
+        uh, uw = rd.uv_shape
+        xf = x.astype(jnp.float32)
+
+        Y = xf[..., : rd.y_pixels].reshape(B, F, H, W)
+        u = xf[..., rd.y_pixels : rd.y_pixels + rd.uv_pixels].reshape(
+            B, F, uh, uw
+        )
+        v = xf[..., rd.y_pixels + rd.uv_pixels :].reshape(B, F, uh, uw)
+
+        if rd.color_range_full:
+            m = float(2 ** rd.bit_depth - 1)
+            c = float(2 ** (rd.bit_depth - 1))
+            Y = jnp.clip(Y / m, 0.0, 1.0)
+            u = jnp.clip((u - c) / m, -0.5, 0.5)
+            v = jnp.clip((v - c) / m, -0.5, 0.5)
+        else:
+            d = 2.0 ** (rd.bit_depth - 8)
+            Y = jnp.clip(Y / (d * 219.0) - 16.0 / 219.0, 0.0, 1.0)
+            u = jnp.clip(u / (d * 224.0) - 128.0 / 224.0, -0.5, 0.5)
+            v = jnp.clip(v / (d * 224.0) - 128.0 / 224.0, -0.5, 0.5)
+
+        if rd.chroma_ss != "444":
+            u = jax.image.resize(u, (B, F, H, W), method="linear")
+            v = jax.image.resize(v, (B, F, H, W), method="linear")
+
+        M = ycbcr_to_rgb_matrix(rd.color_space)
+        yuv = jnp.stack([Y, u, v], axis=2)  # (B, F, 3, H, W)
+        rgb = jnp.einsum("bfchw,dc->bfdhw", yuv, jnp.asarray(M),
+                         precision="highest")
+        rgb = jnp.clip(rgb, 0.0, 1.0)
+        rgb = jnp.transpose(rgb, (0, 2, 1, 3, 4))  # (B, 3, F, H, W)
+
+        if self.full_screen_resize is not None:
+            rw, rh = self.resize_resolution
+            method = {"bilinear": "linear", "bicubic": "cubic",
+                      "nearest": "nearest"}.get(self.full_screen_resize)
+            if method is None:
+                raise RuntimeError(
+                    f"Resize method '{self.full_screen_resize}' not "
+                    "supported for native-decode sources"
+                )
+            rgb = jnp.clip(
+                jax.image.resize(rgb, (B, 3, F, rh, rw), method=method),
+                0.0, 1.0,
+            )
+        return rgb
+
+    # Legacy per-frame API (used by auxiliary metrics) -------------------
+
+    def get_test_frame(self, frame, device=None, colorspace="DKLd65"):
+        return self._frame("test", frame, colorspace)
+
+    def get_reference_frame(self, frame, device=None, colorspace="DKLd65"):
+        return self._frame("reference", frame, colorspace)
+
+    def _frame(self, which, frame, colorspace):
+        import jax.numpy as jnp
+
+        raw = self.get_raw_block(which, frame, 1)
+        rgb = self.unpack_raw_block(jnp.asarray(raw))
+        return self.apply_dm_and_color_transform(rgb, colorspace)
+
+
 class video_source_video_file_preload(video_source_video_file):
     """Reads the whole video into RAM for random access (reference:
     video_source_file.py:672-702)."""
@@ -524,13 +719,45 @@ class video_source_temp_resample_file(video_source_dm):
                   resize_resolution=resize_resolution, verbose=verbose)
         self.vs = {}
         # Each file becomes its own single-video pair (test==ref) so we can
-        # reuse the decoding machinery.
-        self.vs["test"] = video_source_video_file_preload(
-            test_fname, test_fname, **mk
-        )
-        self.vs["reference"] = video_source_video_file_preload(
-            reference_fname, reference_fname, **mk
-        )
+        # reuse the decoding machinery (native planar decode when built,
+        # OpenCV otherwise — resampling needs random access, so preload).
+        from . import ffcodec
+
+        def _mk_pair(fname):
+            if ffcodec.available() and not os.environ.get(
+                    "CVVDP_NO_NATIVE_DECODE"):
+                try:
+                    return video_source_codec_file(fname, fname,
+                                                   preload=True, **mk)
+                except Exception as e:
+                    logging.warning(
+                        f"Native decode unavailable for '{fname}' ({e}); "
+                        "falling back to the OpenCV reader."
+                    )
+            return video_source_video_file_preload(fname, fname, **mk)
+
+        self.vs["test"] = _mk_pair(test_fname)
+        self.vs["reference"] = _mk_pair(reference_fname)
+        # Packed-planar inner sources need their unpack hook surfaced on
+        # this wrapper (the metric builds ONE per-block program for both
+        # streams). If the two files decode to different planar layouts,
+        # drop both to the OpenCV reader so the block format is uniform.
+        t, r = self.vs["test"], self.vs["reference"]
+        if hasattr(t, "unpack_raw_block") or hasattr(r, "unpack_raw_block"):
+            if (hasattr(t, "unpack_raw_block")
+                    and hasattr(r, "unpack_raw_block")
+                    and t.raw_block_key() == r.raw_block_key()):
+                self.unpack_raw_block = t.unpack_raw_block
+                self.raw_block_key = t.raw_block_key
+            else:
+                logging.warning(
+                    "Temporal resampling with mixed decode formats; using "
+                    "the OpenCV reader (8-bit RGB) for both streams."
+                )
+                self.vs["test"] = video_source_video_file_preload(
+                    test_fname, test_fname, **mk)
+                self.vs["reference"] = video_source_video_file_preload(
+                    reference_fname, reference_fname, **mk)
         t_fps = self.vs["test"].get_frames_per_second()
         r_fps = self.vs["reference"].get_frames_per_second()
         resample_fps = math.lcm(round(t_fps), round(r_fps))
@@ -606,11 +833,27 @@ def video_source_file(test_fname, reference_fname,
             display_photometry=display_photometry, config_paths=config_paths,
             frames=frames,
         )
-    cls = video_source_video_file_preload if preload else video_source_video_file
-    return cls(
-        test_fname, reference_fname,
+    kw = dict(
         display_photometry=display_photometry, config_paths=config_paths,
         frames=frames, full_screen_resize=full_screen_resize,
         resize_resolution=resize_resolution, ffmpeg_cc=ffmpeg_cc,
         verbose=verbose,
     )
+    from . import ffcodec
+
+    if ffcodec.available() and not os.environ.get("CVVDP_NO_NATIVE_DECODE"):
+        try:
+            return video_source_codec_file(test_fname, reference_fname,
+                                           preload=preload, **kw)
+        except format_mismatch_error as e:
+            logging.warning(
+                f"Test/reference decode to different planar formats ({e}); "
+                "falling back to the OpenCV reader (8-bit RGB)."
+            )
+        except Exception as e:
+            logging.warning(
+                f"Native decode unavailable for this input ({e}); falling "
+                "back to the OpenCV reader."
+            )
+    cls = video_source_video_file_preload if preload else video_source_video_file
+    return cls(test_fname, reference_fname, **kw)

@@ -1,11 +1,13 @@
 """Video and image writers.
 
 TPU-build equivalents of the ffmpeg-pipe writers (reference:
-pycvvdp/video_writer.py). No ffmpeg binary exists here: SDR video goes
-through OpenCV's bundled encoder (mp4v); HDR content keeps its 10 bits by
-going to a YUV4MPEG2 (.y4m, C420p10) stream instead — the uncompressed
-interchange format every ffmpeg/x265 build ingests directly, standing in
-for the reference's SMPTE-2084 h265/VP9 encodes (video_writer.py:35-53).
+pycvvdp/video_writer.py). With the native codec core built
+(native/cvvdp_codec.cpp via io/ffcodec.py), SDR writes mpeg4-qscale-3 mp4
+and HDR writes 10-bit libx265 main10 with SMPTE-2084/BT.2020 tags — the
+reference's exact encode settings (video_writer.py:32-57). Without it, SDR
+falls back to OpenCV's bundled encoder (mp4v) and HDR to a YUV4MPEG2
+(.y4m, C420p10) stream — the uncompressed interchange format every
+ffmpeg/x265 build ingests directly.
 """
 
 from __future__ import annotations
@@ -85,10 +87,86 @@ class Y4MWriter:
         self.close()
 
 
+class NativeMp4Writer:
+    """HDR/SDR mp4 writer through the native codec core (io/ffcodec.py).
+
+    HDR: 10-bit libx265 main10 at crf 12 with the BT.2020/PQ stream tags and
+    x265 HDR parameter block — the reference's exact encode settings
+    (reference: video_writer.py:32-43). SDR: mpeg4 at qscale 3
+    (video_writer.py:57) or libx264/libvpx-vp9 on request. The RGB->YCbCr
+    matrix, limited-range quantisation and 2x2 chroma average run in numpy
+    (host-side debug path; the metric itself never writes video).
+    """
+
+    def __init__(self, fname, fps=24, hdr_mode=False, codec="h265",
+                 verbose=False):
+        self.fname = fname
+        self.fps = fps
+        self.hdr_mode = hdr_mode
+        self.codec = codec
+        self._w = None
+        from .ffcodec import rgb_to_ycbcr_coeffs
+
+        self._coeffs = rgb_to_ycbcr_coeffs("2020" if hdr_mode else "601")
+
+    def _open(self, H, W):
+        from .ffcodec import CodecVideoWriter
+
+        if self.hdr_mode:
+            enc = {"h265": "libx265", "vp9": "libvpx-vp9"}.get(self.codec)
+            if enc is None:
+                raise RuntimeError(f"Unknown codec {self.codec}")
+            self._w = CodecVideoWriter(self.fname, W, H, self.fps,
+                                       bit_depth=10, codec=enc, crf=12.0,
+                                       hdr_tags=True)
+        else:
+            self._w = CodecVideoWriter(self.fname, W, H, self.fps,
+                                       bit_depth=8, codec="mpeg4", crf=3.0)
+
+    def write_frame_rgb(self, rgb):
+        rgb = np.asarray(rgb, np.float64)
+        if rgb.dtype == np.uint8:
+            rgb = rgb.astype(np.float64) / 255.0
+        H, W = rgb.shape[0], rgb.shape[1]
+        if rgb.ndim == 2 or rgb.shape[2] == 1:
+            rgb = np.repeat(rgb.reshape(H, W, 1), 3, axis=2)
+        if H % 2 or W % 2:  # 4:2:0 needs even dims; crop one row/col
+            H, W = H - H % 2, W - W % 2
+            rgb = rgb[:H, :W]
+        if self._w is None:
+            self._open(H, W)
+        rgb = np.clip(rgb, 0.0, 1.0)
+        luma, cb, cr = self._coeffs
+        Y = rgb @ luma
+        u = (rgb @ cb).reshape(H // 2, 2, W // 2, 2).mean(axis=(1, 3))
+        v = (rgb @ cr).reshape(H // 2, 2, W // 2, 2).mean(axis=(1, 3))
+        bd = self._w.bit_depth
+        d = 2.0 ** (bd - 8)
+        maxc = 2 ** bd - 1
+        dt = "<u2" if bd > 8 else np.uint8
+        self._w.write_frame_yuv(
+            np.clip((Y * 219.0 + 16.0) * d + 0.5, 0, maxc).astype(dt),
+            np.clip((u * 224.0 + 128.0) * d + 0.5, 0, maxc).astype(dt),
+            np.clip((v * 224.0 + 128.0) * d + 0.5, 0, maxc).astype(dt),
+        )
+
+    def close(self):
+        if self._w is not None:
+            self._w.close()
+            self._w = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, type, value, tb):
+        self.close()
+
+
 class VideoWriter:
-    """Frame-push video writer (reference: video_writer.py:5-99). SDR goes
-    to cv2 mp4; ``hdr_mode`` reroutes to a 10-bit .y4m next to the
-    requested name (no 10-bit mp4 encoder exists in this image)."""
+    """Frame-push video writer (reference: video_writer.py:5-99). With the
+    native codec core built, SDR and HDR both go to real mp4 with the
+    reference's encoder settings; otherwise SDR falls back to cv2 mp4 and
+    ``hdr_mode`` reroutes to a 10-bit .y4m next to the requested name."""
 
     def __init__(self, fname, fps=24, hdr_mode=False, codec="h265",
                  verbose=False):
@@ -99,8 +177,17 @@ class VideoWriter:
         self.codec = codec
         self.writer = None
         self._y4m = None
-        if hdr_mode or fname.lower().endswith(".y4m"):
-            y4m_name = fname if fname.lower().endswith(".y4m") else \
+        self._native = None
+        from . import ffcodec
+
+        is_y4m = fname.lower().endswith(".y4m")
+        if ffcodec.available() and not is_y4m \
+                and not os.environ.get("CVVDP_NO_NATIVE_DECODE"):
+            self._native = NativeMp4Writer(fname, fps=fps, hdr_mode=hdr_mode,
+                                           codec=codec, verbose=verbose)
+            return
+        if hdr_mode or is_y4m:
+            y4m_name = fname if is_y4m else \
                 os.path.splitext(fname)[0] + ".y4m"
             if y4m_name != fname:
                 logging.warning(
@@ -115,6 +202,9 @@ class VideoWriter:
     def write_frame_rgb(self, rgb):
         """rgb: (H, W, C) float 0..1 (uint8 accepted for SDR). Display-encoded:
         BT.709+sRGB for SDR, BT.2020+PQ for HDR."""
+        if self._native is not None:
+            self._native.write_frame_rgb(rgb)
+            return
         if self._y4m is not None:
             rgb = np.asarray(rgb)
             if rgb.dtype == np.uint8:
@@ -141,6 +231,8 @@ class VideoWriter:
         self.writer.write(frame8[:, :, ::-1])  # RGB -> BGR
 
     def close(self):
+        if self._native is not None:
+            self._native.close()
         if self._y4m is not None:
             self._y4m.close()
         if self.writer is not None:

@@ -1,0 +1,441 @@
+// Native video codec core: mp4/mkv/webm demux + decode to planar YUV, and
+// planar YUV encode to H.264/H.265/VP9/MPEG-4, via the system FFmpeg 5.x
+// libraries (libavformat/libavcodec/libavutil/libswscale).
+//
+// TPU-native replacement for the reference's out-of-process ffmpeg pipes
+// (reference: pycvvdp/video_source_file.py:122-149 decodes via
+// `ffmpeg ... -f rawvideo -pix_fmt rgb48le pipe:`; video_writer.py:32-63
+// encodes via a raw rgb pipe into libx265). Instead of shipping host-side
+// RGB, this core hands the *native-depth planar YUV* straight to Python,
+// and the fixed-point -> float conversion, chroma upsample and YCbCr->RGB
+// matrix all run inside the metric's per-block jit on the TPU
+// (colorvideovdp_tpu/io/ffcodec.py + io/yuv.py unpack path). That removes
+// the host-side swscale colour conversion from the decode hot loop and
+// converts at fp32 precision rather than rgb48le's 16-bit quantisation.
+//
+// C ABI only (loaded with ctypes; pybind11 is not available in this image).
+
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavformat/avformat.h>
+#include <libavutil/imgutils.h>
+#include <libavutil/opt.h>
+#include <libavutil/pixdesc.h>
+#include <libswscale/swscale.h>
+}
+
+#include <cstdint>
+#include <cstring>
+#include <string>
+
+namespace {
+
+thread_local std::string g_err;
+
+void set_err(const std::string &msg, int averr = 0) {
+    if (averr != 0) {
+        char buf[128];
+        av_strerror(averr, buf, sizeof(buf));
+        g_err = msg + ": " + buf;
+    } else {
+        g_err = msg;
+    }
+}
+
+// Canonical planar output formats, keyed by (bit_depth, subsampling).
+AVPixelFormat canonical_fmt(int bit_depth, int chroma) {
+    if (bit_depth == 8) {
+        switch (chroma) {
+            case 444: return AV_PIX_FMT_YUV444P;
+            case 422: return AV_PIX_FMT_YUV422P;
+            default:  return AV_PIX_FMT_YUV420P;
+        }
+    }
+    switch (chroma) {
+        case 444: return AV_PIX_FMT_YUV444P10LE;
+        case 422: return AV_PIX_FMT_YUV422P10LE;
+        default:  return AV_PIX_FMT_YUV420P10LE;
+    }
+}
+
+// Classify a decoder output format: bit depth and chroma subsampling of the
+// nearest canonical planar layout, and whether conversion is needed.
+void classify_fmt(AVPixelFormat fmt, int *bit_depth, int *chroma,
+                  bool *needs_convert) {
+    const AVPixFmtDescriptor *d = av_pix_fmt_desc_get(fmt);
+    *bit_depth = 8;
+    *chroma = 420;
+    *needs_convert = true;
+    if (!d) return;
+    int depth = d->comp[0].depth;
+    *bit_depth = depth > 8 ? 10 : 8;
+    if (d->log2_chroma_w == 0 && d->log2_chroma_h == 0) *chroma = 444;
+    else if (d->log2_chroma_w == 1 && d->log2_chroma_h == 0) *chroma = 422;
+    else *chroma = 420;
+    if (d->nb_components < 3) { *chroma = 420; return; }  // gray etc.
+    // Directly copyable: little-endian (or 8-bit) planar YUV at 8 or 10 bits.
+    bool planar = (d->flags & AV_PIX_FMT_FLAG_PLANAR) != 0;
+    bool rgb = (d->flags & AV_PIX_FMT_FLAG_RGB) != 0;
+    bool be = (d->flags & AV_PIX_FMT_FLAG_BE) != 0;
+    if (planar && !rgb && !be && (depth == 8 || depth == 10) &&
+        d->nb_components == 3)
+        *needs_convert = false;
+}
+
+struct Decoder {
+    AVFormatContext *fmt = nullptr;
+    AVCodecContext *dec = nullptr;
+    SwsContext *sws = nullptr;
+    AVFrame *frame = nullptr;
+    AVFrame *conv = nullptr;  // canonical-format frame when converting
+    AVPacket *pkt = nullptr;
+    int stream_idx = -1;
+    int width = 0, height = 0;
+    int bit_depth = 8;
+    int chroma = 420;  // 420 / 422 / 444
+    bool needs_convert = false;
+    bool draining = false;
+
+    ~Decoder() {
+        if (sws) sws_freeContext(sws);
+        if (conv) av_frame_free(&conv);
+        if (frame) av_frame_free(&frame);
+        if (pkt) av_packet_free(&pkt);
+        if (dec) avcodec_free_context(&dec);
+        if (fmt) avformat_close_input(&fmt);
+    }
+};
+
+size_t plane_pixels(const Decoder *d, int plane) {
+    size_t y = (size_t)d->width * d->height;
+    if (plane == 0) return y;
+    switch (d->chroma) {
+        case 444: return y;
+        case 422: return (size_t)(d->width / 2) * d->height;
+        default:  return (size_t)(d->width / 2) * (d->height / 2);
+    }
+}
+
+// Copy one decoded frame (already in a canonical planar layout) into the
+// packed Y|U|V output buffer, stripping the stride padding.
+void copy_planar(const Decoder *d, const AVFrame *f, uint8_t *out) {
+    int bytes = d->bit_depth > 8 ? 2 : 1;
+    for (int p = 0; p < 3; p++) {
+        int ph = (p == 0 || d->chroma != 420) ? d->height : d->height / 2;
+        int pw = (p == 0 || d->chroma == 444) ? d->width
+                 : d->width / 2;
+        size_t row = (size_t)pw * bytes;
+        const uint8_t *src = f->data[p];
+        for (int r = 0; r < ph; r++) {
+            std::memcpy(out, src, row);
+            out += row;
+            src += f->linesize[p];
+        }
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+const char *vcodec_last_error() { return g_err.c_str(); }
+
+// info layout (int64): [0]=width [1]=height [2]=bit_depth [3]=chroma
+// [4]=fps_num [5]=fps_den [6]=nb_frames(-1 unknown) [7]=avcol_spc
+// [8]=avcol_range [9]=avcol_trc [10]=avcol_pri [11]=frame_bytes
+void *vdec_open(const char *path, int64_t *info) {
+    auto *d = new Decoder();
+    int ret = avformat_open_input(&d->fmt, path, nullptr, nullptr);
+    if (ret < 0) { set_err("cannot open input", ret); delete d; return nullptr; }
+    ret = avformat_find_stream_info(d->fmt, nullptr);
+    if (ret < 0) { set_err("no stream info", ret); delete d; return nullptr; }
+    const AVCodec *codec = nullptr;
+    ret = av_find_best_stream(d->fmt, AVMEDIA_TYPE_VIDEO, -1, -1, &codec, 0);
+    if (ret < 0 || !codec) {
+        set_err("no video stream", ret < 0 ? ret : 0);
+        delete d;
+        return nullptr;
+    }
+    d->stream_idx = ret;
+    AVStream *st = d->fmt->streams[d->stream_idx];
+    d->dec = avcodec_alloc_context3(codec);
+    avcodec_parameters_to_context(d->dec, st->codecpar);
+    d->dec->thread_count = 0;  // auto
+    ret = avcodec_open2(d->dec, codec, nullptr);
+    if (ret < 0) { set_err("cannot open decoder", ret); delete d; return nullptr; }
+
+    AVPixelFormat fmt = (AVPixelFormat)st->codecpar->format;
+    if (fmt == AV_PIX_FMT_NONE) fmt = d->dec->pix_fmt;
+    classify_fmt(fmt, &d->bit_depth, &d->chroma, &d->needs_convert);
+    d->width = st->codecpar->width;
+    d->height = st->codecpar->height;
+    d->frame = av_frame_alloc();
+    d->pkt = av_packet_alloc();
+
+    AVRational fr = st->avg_frame_rate.num ? st->avg_frame_rate
+                                           : st->r_frame_rate;
+    int64_t nb = st->nb_frames;
+    if (nb <= 0 && st->duration > 0 && fr.num > 0) {
+        // duration (stream tb) * fps, rounded down like the reference's
+        // DURATION-tag fallback (video_source_file.py:108-115).
+        nb = av_rescale_q(st->duration, st->time_base,
+                          av_inv_q(fr));
+    }
+    if (nb <= 0) nb = -1;
+
+    info[0] = d->width;
+    info[1] = d->height;
+    info[2] = d->bit_depth;
+    info[3] = d->chroma;
+    info[4] = fr.num;
+    info[5] = fr.den ? fr.den : 1;
+    info[6] = nb;
+    info[7] = st->codecpar->color_space;
+    info[8] = st->codecpar->color_range;
+    info[9] = st->codecpar->color_trc;
+    info[10] = st->codecpar->color_primaries;
+    int bytes = d->bit_depth > 8 ? 2 : 1;
+    info[11] = (int64_t)(plane_pixels(d, 0) + 2 * plane_pixels(d, 1)) * bytes;
+    return d;
+}
+
+// Decode the next frame into `out` (packed planar Y|U|V, native depth,
+// little-endian). Returns 1 on frame, 0 on EOF, <0 on error.
+int vdec_next(void *h, uint8_t *out) {
+    auto *d = (Decoder *)h;
+    for (;;) {
+        int ret = avcodec_receive_frame(d->dec, d->frame);
+        if (ret == 0) {
+            AVFrame *f = d->frame;
+            if (d->needs_convert) {
+                AVPixelFormat dst = canonical_fmt(d->bit_depth, d->chroma);
+                if (!d->conv) {
+                    d->conv = av_frame_alloc();
+                    d->conv->format = dst;
+                    d->conv->width = d->width;
+                    d->conv->height = d->height;
+                    av_frame_get_buffer(d->conv, 0);
+                }
+                d->sws = sws_getCachedContext(
+                    d->sws, d->width, d->height,
+                    (AVPixelFormat)d->frame->format, d->width, d->height,
+                    dst, SWS_BILINEAR, nullptr, nullptr, nullptr);
+                if (!d->sws) { set_err("sws_getContext failed"); return -1; }
+                sws_scale(d->sws, d->frame->data, d->frame->linesize, 0,
+                          d->height, d->conv->data, d->conv->linesize);
+                f = d->conv;
+            }
+            copy_planar(d, f, out);
+            av_frame_unref(d->frame);
+            return 1;
+        }
+        if (ret == AVERROR_EOF) return 0;
+        if (ret != AVERROR(EAGAIN)) { set_err("decode error", ret); return -1; }
+        if (d->draining) return 0;
+        // Feed the next packet of our stream.
+        for (;;) {
+            ret = av_read_frame(d->fmt, d->pkt);
+            if (ret == AVERROR_EOF) {
+                avcodec_send_packet(d->dec, nullptr);
+                d->draining = true;
+                break;
+            }
+            if (ret < 0) { set_err("demux error", ret); return -1; }
+            if (d->pkt->stream_index == d->stream_idx) {
+                ret = avcodec_send_packet(d->dec, d->pkt);
+                av_packet_unref(d->pkt);
+                if (ret < 0 && ret != AVERROR(EAGAIN)) {
+                    set_err("send_packet failed", ret);
+                    return -1;
+                }
+                break;
+            }
+            av_packet_unref(d->pkt);
+        }
+    }
+}
+
+int vdec_rewind(void *h) {
+    auto *d = (Decoder *)h;
+    int ret = av_seek_frame(d->fmt, d->stream_idx, 0, AVSEEK_FLAG_BACKWARD);
+    if (ret < 0) { set_err("seek failed", ret); return -1; }
+    avcodec_flush_buffers(d->dec);
+    d->draining = false;
+    return 0;
+}
+
+void vdec_close(void *h) { delete (Decoder *)h; }
+
+// ---------------------------------------------------------------------------
+// Encoder
+// ---------------------------------------------------------------------------
+
+struct Encoder {
+    AVFormatContext *fmt = nullptr;
+    AVCodecContext *enc = nullptr;
+    AVStream *st = nullptr;
+    AVFrame *frame = nullptr;
+    AVPacket *pkt = nullptr;
+    int width = 0, height = 0;
+    int bit_depth = 8;
+    int chroma = 420;
+    int64_t pts = 0;
+    bool header_written = false;
+
+    ~Encoder() {
+        if (frame) av_frame_free(&frame);
+        if (pkt) av_packet_free(&pkt);
+        if (enc) avcodec_free_context(&enc);
+        if (fmt) {
+            if (fmt->pb) avio_closep(&fmt->pb);
+            avformat_free_context(fmt);
+        }
+    }
+};
+
+namespace {
+
+int drain_packets(Encoder *e) {
+    for (;;) {
+        int ret = avcodec_receive_packet(e->enc, e->pkt);
+        if (ret == AVERROR(EAGAIN) || ret == AVERROR_EOF) return 0;
+        if (ret < 0) { set_err("encode error", ret); return -1; }
+        av_packet_rescale_ts(e->pkt, e->enc->time_base, e->st->time_base);
+        e->pkt->stream_index = e->st->index;
+        ret = av_interleaved_write_frame(e->fmt, e->pkt);
+        if (ret < 0) { set_err("mux error", ret); return -1; }
+    }
+}
+
+}  // namespace
+
+// codec: "libx265" | "libx264" | "mpeg4" | "libvpx-vp9".
+// crf: quality (x264/x265/vp9) or qscale (mpeg4); crf < 0 => lossless.
+// hdr_tags: 1 => tag BT.2020 primaries / SMPTE-2084 (PQ) transfer /
+// bt2020nc matrix, and pass the reference's x265 HDR params
+// (video_writer.py:36-38).
+void *venc_open(const char *path, int width, int height, int fps_num,
+                int fps_den, int bit_depth, int chroma, const char *codec_name,
+                double crf, int hdr_tags) {
+    auto *e = new Encoder();
+    e->width = width;
+    e->height = height;
+    e->bit_depth = bit_depth;
+    e->chroma = chroma;
+    int ret = avformat_alloc_output_context2(&e->fmt, nullptr, nullptr, path);
+    if (ret < 0 || !e->fmt) {
+        set_err("cannot create output context", ret);
+        delete e;
+        return nullptr;
+    }
+    const AVCodec *codec = avcodec_find_encoder_by_name(codec_name);
+    if (!codec) { set_err(std::string("no encoder ") + codec_name); delete e; return nullptr; }
+    e->st = avformat_new_stream(e->fmt, codec);
+    e->enc = avcodec_alloc_context3(codec);
+    e->enc->width = width;
+    e->enc->height = height;
+    e->enc->time_base = {fps_den, fps_num};
+    e->enc->framerate = {fps_num, fps_den};
+    e->enc->pix_fmt = canonical_fmt(bit_depth, chroma);
+    e->enc->thread_count = 0;
+    if (hdr_tags) {
+        e->enc->color_primaries = AVCOL_PRI_BT2020;
+        e->enc->color_trc = AVCOL_TRC_SMPTE2084;
+        e->enc->colorspace = AVCOL_SPC_BT2020_NCL;
+        e->enc->color_range = AVCOL_RANGE_MPEG;
+    }
+    if (e->fmt->oformat->flags & AVFMT_GLOBALHEADER)
+        e->enc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+
+    AVDictionary *opts = nullptr;
+    std::string cname(codec_name);
+    if (cname == "libx265") {
+        av_dict_set(&opts, "preset", "fast", 0);
+        std::string params = crf < 0 ? "lossless=1" : "";
+        if (hdr_tags) {
+            // Reference x265 HDR parameter block (video_writer.py:36).
+            if (!params.empty()) params += ":";
+            params +=
+                "hdr-opt=1:repeat-headers=1:colorprim=bt2020:"
+                "transfer=smpte2084:colormatrix=bt2020nc:"
+                "master-display=G(0,0)B(0,0)R(0,0)WP(0,0)L(0,0):max-cll=0,0";
+        }
+        if (!params.empty()) av_dict_set(&opts, "x265-params", params.c_str(), 0);
+        if (crf >= 0) av_dict_set_int(&opts, "crf", (int64_t)crf, 0);
+    } else if (cname == "libx264") {
+        av_dict_set(&opts, "preset", "fast", 0);
+        // x264: crf=0 is lossless.
+        av_dict_set_int(&opts, "crf", crf < 0 ? 0 : (int64_t)crf, 0);
+    } else if (cname == "libvpx-vp9") {
+        av_dict_set_int(&opts, "crf", crf < 0 ? 0 : (int64_t)crf, 0);
+        av_dict_set(&opts, "b:v", "0", 0);
+        if (crf < 0) av_dict_set_int(&opts, "lossless", 1, 0);
+    } else if (cname == "mpeg4") {
+        // Reference SDR default: mpeg4 qscale 3 (video_writer.py:57).
+        e->enc->flags |= AV_CODEC_FLAG_QSCALE;
+        e->enc->global_quality = FF_QP2LAMBDA * (crf < 0 ? 1 : (int)crf);
+    }
+    ret = avcodec_open2(e->enc, codec, &opts);
+    av_dict_free(&opts);
+    if (ret < 0) { set_err("cannot open encoder", ret); delete e; return nullptr; }
+    avcodec_parameters_from_context(e->st->codecpar, e->enc);
+    e->st->time_base = e->enc->time_base;
+    // Record the true frame rate: for short b-frame streams the muxer's
+    // r_frame_rate guess can land on a multiple (75/2 for a 30 fps clip).
+    e->st->avg_frame_rate = {fps_num, fps_den};
+    if (!(e->fmt->oformat->flags & AVFMT_NOFILE)) {
+        ret = avio_open(&e->fmt->pb, path, AVIO_FLAG_WRITE);
+        if (ret < 0) { set_err("cannot open output file", ret); delete e; return nullptr; }
+    }
+    ret = avformat_write_header(e->fmt, nullptr);
+    if (ret < 0) { set_err("cannot write header", ret); delete e; return nullptr; }
+    e->header_written = true;
+    e->frame = av_frame_alloc();
+    e->frame->format = e->enc->pix_fmt;
+    e->frame->width = width;
+    e->frame->height = height;
+    av_frame_get_buffer(e->frame, 0);
+    e->pkt = av_packet_alloc();
+    return e;
+}
+
+// yuv: packed planar Y|U|V at native depth (uint16 little-endian for 10-bit).
+int venc_write(void *h, const uint8_t *yuv) {
+    auto *e = (Encoder *)h;
+    int ret = av_frame_make_writable(e->frame);
+    if (ret < 0) { set_err("frame not writable", ret); return -1; }
+    int bytes = e->bit_depth > 8 ? 2 : 1;
+    const uint8_t *src = yuv;
+    for (int p = 0; p < 3; p++) {
+        int ph = (p == 0 || e->chroma != 420) ? e->height : e->height / 2;
+        int pw = (p == 0 || e->chroma == 444) ? e->width : e->width / 2;
+        size_t row = (size_t)pw * bytes;
+        uint8_t *dst = e->frame->data[p];
+        for (int r = 0; r < ph; r++) {
+            std::memcpy(dst, src, row);
+            src += row;
+            dst += e->frame->linesize[p];
+        }
+    }
+    e->frame->pts = e->pts++;
+    ret = avcodec_send_frame(e->enc, e->frame);
+    if (ret < 0) { set_err("send_frame failed", ret); return -1; }
+    return drain_packets(e);
+}
+
+int venc_close(void *h) {
+    auto *e = (Encoder *)h;
+    int rc = 0;
+    if (e->enc && e->header_written) {
+        avcodec_send_frame(e->enc, nullptr);
+        rc = drain_packets(e);
+        if (av_write_trailer(e->fmt) < 0 && rc == 0) {
+            set_err("cannot write trailer");
+            rc = -1;
+        }
+    }
+    delete e;
+    return rc;
+}
+
+}  // extern "C"

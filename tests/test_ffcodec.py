@@ -1,0 +1,279 @@
+"""Native codec core (native/cvvdp_codec.cpp via io/ffcodec.py): lossless
+encode/decode roundtrips, metadata, the device-side unpack path, and the
+full-metric equivalence of 10-bit HEVC mp4 vs the raw .yuv route.
+
+This is the capability the reference gets from its out-of-process ffmpeg
+rgb48le pipe (reference: pycvvdp/video_source_file.py:122-149) and its
+libx265 HDR writer (video_writer.py:32-43)."""
+
+import numpy as np
+import pytest
+
+from colorvideovdp_tpu.io import ffcodec
+
+pytestmark = pytest.mark.skipif(
+    not ffcodec.available(),
+    reason="native codec library not built (make -C native)",
+)
+
+
+def _rand_planar(rng, W, H, bit_depth, smooth=False):
+    hi = 2 ** bit_depth
+    if smooth:
+        from scipy.ndimage import gaussian_filter
+
+        def plane(h, w):
+            p = gaussian_filter(rng.rand(h, w), 3, mode="nearest")
+            p = (p - p.min()) / max(np.ptp(p), 1e-9)
+            lo, span = 0.1 * hi, 0.8 * hi
+            return (p * span + lo).astype(np.uint16 if bit_depth > 8
+                                           else np.uint8)
+    else:
+        def plane(h, w):
+            dt = np.uint16 if bit_depth > 8 else np.uint8
+            return rng.randint(0, hi, (h, w)).astype(dt)
+
+    return plane(H, W), plane(H // 2, W // 2), plane(H // 2, W // 2)
+
+
+def _encode(path, frames, fps=30, bit_depth=8, codec="libx264", crf=-1.0,
+            hdr_tags=False):
+    H, W = frames[0][0].shape
+    w = ffcodec.CodecVideoWriter(str(path), W, H, fps, bit_depth=bit_depth,
+                                 codec=codec, crf=crf, hdr_tags=hdr_tags)
+    for y, u, v in frames:
+        w.write_frame_yuv(y, u, v)
+    w.close()
+
+
+def test_lossless_roundtrip_8bit_h264(tmp_path):
+    rng = np.random.RandomState(0)
+    frames = [_rand_planar(rng, 64, 48, 8) for _ in range(6)]
+    p = tmp_path / "c8.mp4"
+    _encode(p, frames, fps=25, bit_depth=8, codec="libx264", crf=-1.0)
+
+    rd = ffcodec.CodecVideoReader(str(p))
+    assert (rd.width, rd.height) == (64, 48)
+    assert rd.bit_depth == 8 and rd.chroma_ss == "420"
+    assert rd.avg_fps == 25.0
+    assert rd.frames == 6
+    got = rd.get_packed_frames(0, 6)
+    for i, (y, u, v) in enumerate(frames):
+        ref = np.concatenate([y.ravel(), u.ravel(), v.ravel()])
+        assert np.array_equal(got[i], ref), f"frame {i} not byte-exact"
+    # Tail repeat + non-contiguous restart (sequential protocol).
+    tail = rd.get_packed_frames(4, 4)
+    assert np.array_equal(tail[2], tail[1]) and np.array_equal(tail[3],
+                                                               tail[1])
+    again = rd.get_packed_frames(0, 2)
+    assert np.array_equal(again[0], got[0])
+    rd.unload()
+
+
+def test_lossless_roundtrip_10bit_hevc_hdr_tags(tmp_path):
+    rng = np.random.RandomState(1)
+    frames = [_rand_planar(rng, 64, 48, 10) for _ in range(5)]
+    p = tmp_path / "c10.mp4"
+    _encode(p, frames, fps=30, bit_depth=10, codec="libx265", crf=-1.0,
+            hdr_tags=True)
+
+    rd = ffcodec.CodecVideoReader(str(p))
+    assert rd.bit_depth == 10
+    assert rd.dtype == np.uint16
+    assert rd.color_space == "2020"  # from the bt2020nc stream tag
+    assert not rd.color_range_full
+    got = rd.get_packed_frames(0, 5)
+    for i, (y, u, v) in enumerate(frames):
+        ref = np.concatenate([y.ravel(), u.ravel(), v.ravel()])
+        assert np.array_equal(got[i], ref), f"frame {i} not byte-exact"
+    rd.unload()
+
+
+def test_codec_source_10bit_mp4_matches_yuv_route(tmp_path):
+    """The same 10-bit content fed as a lossless HEVC mp4 and as a raw .yuv
+    file must score the same JOD: both unpack on-device with the BT.2020
+    matrix (the .yuv table's 5-decimal constants vs the codec path's exact
+    Kr/Kb derivation differ at ~1e-5 in RGB)."""
+    import colorvideovdp_tpu as cv
+    from colorvideovdp_tpu.io.video_source_file import (
+        video_source_codec_file,
+    )
+    from colorvideovdp_tpu.io.yuv import video_source_yuv_file
+
+    rng = np.random.RandomState(7)
+    W, H, N = 96, 64, 6
+    ref_frames = [_rand_planar(rng, W, H, 10, smooth=True) for _ in range(N)]
+    tst_frames = [
+        tuple(np.clip(p.astype(np.int32)
+                      + rng.randint(-40, 40, p.shape), 0, 1023)
+              .astype(np.uint16) for p in f)
+        for f in ref_frames
+    ]
+
+    paths = {}
+    for name, frames in (("ref", ref_frames), ("tst", tst_frames)):
+        mp4 = tmp_path / f"{name}.mp4"
+        _encode(mp4, frames, fps=30, bit_depth=10, codec="libx265",
+                crf=-1.0, hdr_tags=True)
+        yuv = tmp_path / f"{name}_{W}x{H}p30_420_10b_pq2020.yuv"
+        with open(yuv, "wb") as f:
+            for y, u, v in frames:
+                f.write(y.astype("<u2").tobytes())
+                f.write(u.astype("<u2").tobytes())
+                f.write(v.astype("<u2").tobytes())
+        paths[name] = (mp4, yuv)
+
+    met = cv.cvvdp(display_name="standard_hdr_pq")
+    src_mp4 = video_source_codec_file(
+        str(paths["tst"][0]), str(paths["ref"][0]),
+        display_photometry="standard_hdr_pq",
+    )
+    q_mp4, _ = met.predict_video_source(src_mp4)
+    src_yuv = video_source_yuv_file(
+        str(paths["tst"][1]), str(paths["ref"][1]),
+        display_photometry="standard_hdr_pq",
+    )
+    q_yuv, _ = met.predict_video_source(src_yuv)
+    assert abs(float(q_mp4) - float(q_yuv)) < 2e-3, (
+        float(q_mp4), float(q_yuv))
+
+
+def test_codec_unpack_matches_cv2_8bit(tmp_path):
+    """8-bit SDR cross-validation against OpenCV's swscale conversion.
+
+    4:4:4 content (no chroma upsampling involved) must match to fixed-point
+    rounding — this pins the matrix (601 heuristic for SD) and the
+    limited-range scaling. 4:2:0 gets a loose bound only: swscale's default
+    chroma upsampler duplicates pixels (nearest) while this package uses
+    half-pixel bilinear everywhere — deliberately matching the reference's
+    own .yuv route (video_source_yuv.py uses torch bilinear) rather than
+    its mp4 pipe; upstream is internally inconsistent between the two."""
+    import jax.numpy as jnp
+
+    from colorvideovdp_tpu.io.video_source_file import (
+        video_source_codec_file,
+        video_source_video_file,
+    )
+
+    rng = np.random.RandomState(3)
+
+    def _compare(chroma, frames):
+        p = tmp_path / f"sdr{chroma}.mp4"
+        H, W = frames[0][0].shape
+        w = ffcodec.CodecVideoWriter(str(p), W, H, 24, bit_depth=8,
+                                     chroma=chroma, codec="libx264",
+                                     crf=-1.0)
+        for y, u, v in frames:
+            w.write_frame_yuv(y, u, v)
+        w.close()
+        src = video_source_codec_file(str(p), str(p),
+                                      display_photometry="standard_fhd")
+        blk = src.get_raw_block("test", 0, len(frames))
+        rgb_native = np.asarray(src.unpack_raw_block(jnp.asarray(blk)))
+        cv2_src = video_source_video_file(str(p), str(p),
+                                          display_photometry="standard_fhd")
+        blk_cv2 = cv2_src.get_raw_block("test", 0, len(frames))
+        rgb_cv2 = blk_cv2[0].transpose(1, 0, 2, 3).astype(np.float32) / 255.0
+        return np.abs(rgb_native[0] - rgb_cv2)
+
+    def _p444(h, w):
+        y, _u, _v = _rand_planar(rng, w, h, 8, smooth=True)
+        return y
+
+    H, W = 64, 96
+    frames444 = [(_p444(H, W), _p444(H, W), _p444(H, W)) for _ in range(2)]
+    d = _compare(444, frames444)
+    assert d.max() < 3.0 / 255.0, d.max()
+
+    frames420 = [_rand_planar(rng, W, H, 8, smooth=True) for _ in range(2)]
+    d = _compare(420, frames420)
+    assert d.mean() < 0.02 and d.max() < 0.12, (d.mean(), d.max())
+
+
+def test_facade_dispatch_and_fallback(tmp_path, monkeypatch):
+    from colorvideovdp_tpu.io.video_source_file import (
+        video_source_codec_file,
+        video_source_file,
+        video_source_video_file,
+    )
+
+    rng = np.random.RandomState(5)
+    frames8 = [_rand_planar(rng, 64, 48, 8) for _ in range(3)]
+    p8 = tmp_path / "a.mp4"
+    _encode(p8, frames8, bit_depth=8, codec="libx264", crf=-1.0)
+
+    src = video_source_file(str(p8), str(p8),
+                            display_photometry="standard_fhd")
+    assert isinstance(src, video_source_codec_file)
+
+    # Env kill-switch forces the OpenCV reader.
+    monkeypatch.setenv("CVVDP_NO_NATIVE_DECODE", "1")
+    src = video_source_file(str(p8), str(p8),
+                            display_photometry="standard_fhd")
+    assert isinstance(src, video_source_video_file)
+    monkeypatch.delenv("CVVDP_NO_NATIVE_DECODE")
+
+    # Mixed-format pair (8-bit test vs 10-bit reference) falls back.
+    frames10 = [_rand_planar(rng, 64, 48, 10) for _ in range(3)]
+    p10 = tmp_path / "b.mp4"
+    _encode(p10, frames10, bit_depth=10, codec="libx265", crf=-1.0)
+    src = video_source_file(str(p8), str(p10),
+                            display_photometry="standard_fhd")
+    assert isinstance(src, video_source_video_file)
+
+
+def test_native_hdr_mp4_writer(tmp_path):
+    """VideoWriter with hdr_mode writes a real 10-bit HEVC mp4 carrying the
+    PQ/BT.2020 stream tags (reference: video_writer.py:32-43) that decodes
+    back to the written content within crf-12 loss."""
+    from colorvideovdp_tpu.io.writers import VideoWriter
+
+    rng = np.random.RandomState(11)
+    base = rng.rand(48, 64, 3).astype(np.float32)
+    from scipy.ndimage import gaussian_filter
+
+    base = gaussian_filter(base, (4, 4, 0), mode="nearest")
+    base = (base - base.min()) / max(np.ptp(base), 1e-9)
+
+    p = tmp_path / "hdr.mp4"
+    w = VideoWriter(str(p), fps=30, hdr_mode=True, codec="h265")
+    for i in range(4):
+        w.write_frame_rgb(np.clip(base * (0.6 + 0.1 * i), 0, 1))
+    w.close()
+    assert p.exists() and p.stat().st_size > 0
+
+    rd = ffcodec.CodecVideoReader(str(p))
+    assert rd.bit_depth == 10 and rd.color_space == "2020"
+    assert rd.color_trc == 16  # SMPTE-2084 (PQ)
+    assert rd.frames == 4
+    got = rd.get_packed_frames(0, 1)[0]
+    Y = got[: 64 * 48].reshape(48, 64).astype(np.float64)
+    # Luma should reconstruct the written frame's luma within crf-12 loss.
+    luma_row, _cb, _cr = ffcodec.rgb_to_ycbcr_coeffs("2020")
+    Y_ref = (np.clip(base * 0.6, 0, 1) @ luma_row) * 219.0 * 4 + 16 * 4
+    assert np.abs(Y - Y_ref).mean() < 16.0  # ~1 8-bit code value avg
+    rd.unload()
+
+
+def test_codec_source_preload_and_frame_list(tmp_path):
+    from colorvideovdp_tpu.io.video_source_file import (
+        video_source_codec_file,
+    )
+
+    rng = np.random.RandomState(9)
+    frames = [_rand_planar(rng, 64, 48, 8) for _ in range(5)]
+    p = tmp_path / "c.mp4"
+    _encode(p, frames, bit_depth=8, codec="libx264", crf=-1.0)
+
+    for preload in (False, True):
+        src = video_source_codec_file(str(p), str(p),
+                                      display_photometry="standard_fhd",
+                                      preload=preload)
+        # Symmetric-padding head access then sequential blocks from 0.
+        head = src.get_raw_frame_list("test", [2, 1, 0])
+        blk = src.get_raw_block("test", 0, 5)
+        for i, (y, u, v) in enumerate(frames):
+            ref = np.concatenate([y.ravel(), u.ravel(), v.ravel()])
+            assert np.array_equal(blk[0, i], ref)
+        assert np.array_equal(head[0, 0], blk[0, 2])
+        assert np.array_equal(head[0, 2], blk[0, 0])

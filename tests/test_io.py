@@ -86,7 +86,11 @@ def test_yuv_source_matches_oracle(reference, tmp_path):
 
 
 def test_video_source_file_mp4():
-    from colorvideovdp_tpu.io.video_source_file import video_source_file
+    from colorvideovdp_tpu.io import ffcodec
+    from colorvideovdp_tpu.io.video_source_file import (
+        video_source_codec_file,
+        video_source_file,
+    )
 
     vs = video_source_file(
         "/root/reference/example_media/aliasing/ferris-bicubic-bicubic.mp4",
@@ -97,26 +101,36 @@ def test_video_source_file_mp4():
     assert (h, w) == (720, 1280) and n == 60
     assert vs.get_frames_per_second() == 25.0
     blk = vs.get_raw_block("test", 0, 4)
-    assert blk.shape == (1, 4, 3, 720, 1280) and blk.dtype == np.uint8
+    if ffcodec.available():
+        # Native planar decode: packed Y|U|V blocks, unpacked on device.
+        assert isinstance(vs, video_source_codec_file)
+        assert blk.shape == (1, 4, 1280 * 720 * 3 // 2)
+        assert blk.dtype == np.uint8
+    else:
+        assert blk.shape == (1, 4, 3, 720, 1280) and blk.dtype == np.uint8
 
 
-def test_video_source_mp4_reread_same_block():
+def test_video_source_mp4_reread_same_block(monkeypatch):
     """Re-requesting already-returned frames must rewind, not silently hand
     out the NEXT frame (latent off-by-one in the sequential-read guard:
-    start == curr_frame is a re-read)."""
+    start == curr_frame is a re-read). Checked on both the native and the
+    OpenCV fallback reader."""
     from colorvideovdp_tpu.io.video_source_file import video_source_file
 
-    vs = video_source_file(
-        "/root/reference/example_media/aliasing/ferris-ref.mp4",
-        "/root/reference/example_media/aliasing/ferris-ref.mp4",
-        display_photometry="standard_fhd",
-    )
-    vs.get_video_size()
-    a = vs.get_raw_block("test", 5, 3).copy()
-    b = vs.get_raw_block("test", 5, 3)  # exact re-read
-    np.testing.assert_array_equal(a, b)
-    c = vs.get_raw_block("test", 7, 2)  # overlaps the last frame returned
-    np.testing.assert_array_equal(a[0, 2], c[0, 0])
+    for force_cv2 in (False, True):
+        if force_cv2:
+            monkeypatch.setenv("CVVDP_NO_NATIVE_DECODE", "1")
+        vs = video_source_file(
+            "/root/reference/example_media/aliasing/ferris-ref.mp4",
+            "/root/reference/example_media/aliasing/ferris-ref.mp4",
+            display_photometry="standard_fhd",
+        )
+        vs.get_video_size()
+        a = vs.get_raw_block("test", 5, 3).copy()
+        b = vs.get_raw_block("test", 5, 3)  # exact re-read
+        np.testing.assert_array_equal(a, b)
+        c = vs.get_raw_block("test", 7, 2)  # overlaps the last frame
+        np.testing.assert_array_equal(a[0, 2], c[0, 0])
 
 
 def test_image_source_and_mat(tmp_path):
@@ -235,13 +249,14 @@ def test_y4m_10bit_writer_roundtrip(tmp_path):
     rng = np.random.RandomState(9)
     H, W, N = 32, 48, 3
     frames = rng.rand(N, H, W, 3).astype(np.float32) * 0.9 + 0.05
-    name = str(tmp_path / "hdr.mp4")
-    vw = VideoWriter(name, fps=30, hdr_mode=True)
+    # An explicit .y4m target always takes the Y4MWriter (with the native
+    # codec built, hdr_mode .mp4 targets go to real 10-bit HEVC instead —
+    # covered by tests/test_ffcodec.py::test_native_hdr_mp4_writer).
+    y4m = str(tmp_path / "hdr.y4m")
+    vw = VideoWriter(y4m, fps=30, hdr_mode=True)
     for i in range(N):
         vw.write_frame_rgb(frames[i])
     vw.close()
-
-    y4m = str(tmp_path / "hdr.y4m")
     assert os.path.exists(y4m)
     with open(y4m, "rb") as f:
         header = f.readline().decode()
@@ -274,18 +289,18 @@ def test_y4m_10bit_writer_roundtrip(tmp_path):
 
 
 def test_cv2_high_bitdepth_decode_ceiling(tmp_path):
-    """CI-style probe of the environment's video-decode ceiling (VERDICT r2
-    missing-item 1; reference decodes 10-bit mp4 via an ffmpeg rgb48le pipe,
-    video_source_file.py:127-149).
+    """CI-style probe of the OpenCV *fallback* reader's decode ceiling
+    (VERDICT r2 missing-item 1; reference decodes 10-bit mp4 via an ffmpeg
+    rgb48le pipe, video_source_file.py:127-149).
 
-    This build of OpenCV's FFmpeg wrapper cannot surface >8-bit pixels: a
-    10-bit yuv420p10le stream decodes with "will be treated as 8UC1" and
-    comes back as uint8 whatever CAP_PROP_CONVERT_RGB says, and no pyav /
-    imageio_ffmpeg / ffmpeg binary exists in the image. The package
-    therefore routes 10-bit content through raw ``.yuv`` (oracle-tested in
-    test_yuv_source_matches_oracle) and hard-warns on mp4. If this test
-    FAILS, the cv2 build gained >8-bit decode — remove the warning in
-    io/video_source_file.py:208-212 and wire the 16U path."""
+    Full >8-bit mp4 decode is provided by the native codec core
+    (native/cvvdp_codec.cpp, tests/test_ffcodec.py); this probe documents
+    why the cv2 path that serves builds WITHOUT the native library stays
+    capped at 8 bits: a 10-bit yuv420p10le stream decodes with "will be
+    treated as 8UC1" and comes back as uint8 whatever CAP_PROP_CONVERT_RGB
+    says, and no pyav / imageio_ffmpeg / ffmpeg binary exists in the image.
+    If this test FAILS, the cv2 build gained >8-bit decode — the fallback
+    warning in io/video_source_file.py can then be dropped too."""
     import cv2
     import numpy as np
 
