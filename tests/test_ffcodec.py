@@ -255,6 +255,31 @@ def test_native_hdr_mp4_writer(tmp_path):
     rd.unload()
 
 
+def test_dm_preview_hdr_video_real_mp4(tmp_path, monkeypatch):
+    """dm-preview on HDR video now yields real 10-bit HEVC mp4 with PQ tags
+    (reference behaviour: dm_preview_metric.py via video_writer.py:32-43)
+    instead of the y4m stand-in."""
+    from colorvideovdp_tpu.io.video_source import video_source_array
+    from colorvideovdp_tpu.metrics.dm_preview import dm_preview
+
+    rng = np.random.RandomState(21)
+    vid = (rng.rand(48, 64, 3, 4) * 200 + 20).astype(np.float32)  # HWCF lin
+    src = video_source_array(vid, vid, fps=30, dim_order="HWCF",
+                             display_photometry="standard_hdr_linear")
+    m = dm_preview(display_name="standard_hdr_linear")
+    m.set_base_fname(str(tmp_path / "prev"))
+    m.predict_video_source(src)
+
+    for which in ("test", "reference"):
+        p = tmp_path / f"prev-{which}.mp4"
+        assert p.exists() and p.stat().st_size > 0
+        rd = ffcodec.CodecVideoReader(str(p))
+        assert rd.bit_depth == 10 and rd.color_space == "2020"
+        assert rd.color_trc == 16  # PQ
+        assert rd.frames == 4 and rd.avg_fps == 30.0
+        rd.unload()
+
+
 def test_codec_source_preload_and_frame_list(tmp_path):
     from colorvideovdp_tpu.io.video_source_file import (
         video_source_codec_file,
