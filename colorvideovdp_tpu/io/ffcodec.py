@@ -135,13 +135,13 @@ class CodecVideoReader:
             self.uv_shape = (self.height // 2, self.width // 2)
         self.uv_pixels = self.uv_shape[0] * self.uv_shape[1]
 
+        self._next = 0  # index the next vdec_next call returns
+        self._last = None  # most recent decoded frame (tail repeat)
+        self._buf = ctypes.create_string_buffer(self.frame_bytes)
         if meta_frames <= 0 or frames == -2:
             meta_frames = self._count_frames()
         self.frames = meta_frames if frames in (-1, -2) else min(
             frames, meta_frames)
-        self._next = 0  # index the next vdec_next call returns
-        self._last = None  # most recent decoded frame (tail repeat)
-        self._buf = ctypes.create_string_buffer(self.frame_bytes)
 
     def _count_frames(self) -> int:
         n = 0

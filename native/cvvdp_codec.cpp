@@ -43,18 +43,35 @@ void set_err(const std::string &msg, int averr = 0) {
 }
 
 // Canonical planar output formats, keyed by (bit_depth, subsampling).
+// Depths follow the reference's decode contract (>8 bit content keeps its
+// precision; the reference ships it as rgb48le, video_source_file.py:127):
+// 8/10/12 map to their native planar formats; anything deeper to p16.
 AVPixelFormat canonical_fmt(int bit_depth, int chroma) {
-    if (bit_depth == 8) {
-        switch (chroma) {
-            case 444: return AV_PIX_FMT_YUV444P;
-            case 422: return AV_PIX_FMT_YUV422P;
-            default:  return AV_PIX_FMT_YUV420P;
-        }
-    }
-    switch (chroma) {
-        case 444: return AV_PIX_FMT_YUV444P10LE;
-        case 422: return AV_PIX_FMT_YUV422P10LE;
-        default:  return AV_PIX_FMT_YUV420P10LE;
+    switch (bit_depth) {
+        case 8:
+            switch (chroma) {
+                case 444: return AV_PIX_FMT_YUV444P;
+                case 422: return AV_PIX_FMT_YUV422P;
+                default:  return AV_PIX_FMT_YUV420P;
+            }
+        case 10:
+            switch (chroma) {
+                case 444: return AV_PIX_FMT_YUV444P10LE;
+                case 422: return AV_PIX_FMT_YUV422P10LE;
+                default:  return AV_PIX_FMT_YUV420P10LE;
+            }
+        case 12:
+            switch (chroma) {
+                case 444: return AV_PIX_FMT_YUV444P12LE;
+                case 422: return AV_PIX_FMT_YUV422P12LE;
+                default:  return AV_PIX_FMT_YUV420P12LE;
+            }
+        default:
+            switch (chroma) {
+                case 444: return AV_PIX_FMT_YUV444P16LE;
+                case 422: return AV_PIX_FMT_YUV422P16LE;
+                default:  return AV_PIX_FMT_YUV420P16LE;
+            }
     }
 }
 
@@ -68,17 +85,18 @@ void classify_fmt(AVPixelFormat fmt, int *bit_depth, int *chroma,
     *needs_convert = true;
     if (!d) return;
     int depth = d->comp[0].depth;
-    *bit_depth = depth > 8 ? 10 : 8;
+    *bit_depth = depth <= 8 ? 8 : depth <= 10 ? 10 : depth <= 12 ? 12 : 16;
     if (d->log2_chroma_w == 0 && d->log2_chroma_h == 0) *chroma = 444;
     else if (d->log2_chroma_w == 1 && d->log2_chroma_h == 0) *chroma = 422;
     else *chroma = 420;
     if (d->nb_components < 3) { *chroma = 420; return; }  // gray etc.
-    // Directly copyable: little-endian (or 8-bit) planar YUV at 8 or 10 bits.
+    // Directly copyable: little-endian (or 8-bit) planar YUV whose depth is
+    // one of the canonical ones.
     bool planar = (d->flags & AV_PIX_FMT_FLAG_PLANAR) != 0;
     bool rgb = (d->flags & AV_PIX_FMT_FLAG_RGB) != 0;
     bool be = (d->flags & AV_PIX_FMT_FLAG_BE) != 0;
-    if (planar && !rgb && !be && (depth == 8 || depth == 10) &&
-        d->nb_components == 3)
+    if (planar && !rgb && !be && d->nb_components == 3 &&
+        (depth == 8 || depth == 10 || depth == 12 || depth == 16))
         *needs_convert = false;
 }
 

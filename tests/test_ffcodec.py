@@ -89,6 +89,29 @@ def test_lossless_roundtrip_10bit_hevc_hdr_tags(tmp_path):
     rd.unload()
 
 
+def test_lossless_roundtrip_12bit_ffv1(tmp_path):
+    """12-bit planar decode (reference handles 10/12/14/16-bit via its
+    rgb48le pipe, video_source_file.py:127): ffv1-in-mkv roundtrip stays
+    byte-exact and classifies as bit_depth 12."""
+    rng = np.random.RandomState(2)
+    frames = []
+    for _ in range(3):
+        y = rng.randint(0, 4096, (48, 64)).astype(np.uint16)
+        u = rng.randint(0, 4096, (24, 32)).astype(np.uint16)
+        v = rng.randint(0, 4096, (24, 32)).astype(np.uint16)
+        frames.append((y, u, v))
+    p = tmp_path / "c12.mkv"
+    _encode(p, frames, fps=30, bit_depth=12, codec="ffv1", crf=-1.0)
+
+    rd = ffcodec.CodecVideoReader(str(p))
+    assert rd.bit_depth == 12 and rd.dtype == np.uint16
+    got = rd.get_packed_frames(0, 3)
+    for i, (y, u, v) in enumerate(frames):
+        ref = np.concatenate([y.ravel(), u.ravel(), v.ravel()])
+        assert np.array_equal(got[i], ref), f"frame {i} not byte-exact"
+    rd.unload()
+
+
 def test_codec_source_10bit_mp4_matches_yuv_route(tmp_path):
     """The same 10-bit content fed as a lossless HEVC mp4 and as a raw .yuv
     file must score the same JOD: both unpack on-device with the BT.2020
