@@ -303,6 +303,53 @@ def test_dm_preview_hdr_video_real_mp4(tmp_path, monkeypatch):
         rd.unload()
 
 
+def test_temp_resample_source_native_inner(tmp_path):
+    """video_source_temp_resample_file over native-decoded inner sources:
+    the packed-planar unpack hook must surface on the wrapper (the metric
+    builds one per-block program for both streams), and mismatched decode
+    formats must drop both streams to the OpenCV reader (reference:
+    video_source_file.py:482-543)."""
+    import jax.numpy as jnp
+
+    from colorvideovdp_tpu.io.video_source_file import (
+        video_source_temp_resample_file,
+    )
+
+    rng = np.random.RandomState(13)
+    frames = [_rand_planar(rng, 64, 48, 8, smooth=True) for _ in range(8)]
+    p24 = tmp_path / "a24.mp4"
+    p30 = tmp_path / "b30.mp4"
+    _encode(p24, frames, fps=24, bit_depth=8, codec="libx264", crf=-1.0)
+    _encode(p30, frames[:6], fps=30, bit_depth=8, codec="libx264", crf=-1.0)
+
+    src = video_source_temp_resample_file(
+        str(p24), str(p30), display_photometry="standard_fhd")
+    # lcm(24, 30) = 120 <= 166 cap
+    assert src.get_frames_per_second() == 120
+    h, w, n = src.get_video_size()
+    assert (h, w) == (48, 64)
+    # min(8/24, 6/30) s * 120 fps = 0.2 s * 120 = 24 frames
+    assert n == 24
+    assert hasattr(src, "unpack_raw_block")
+    blk = src.get_raw_block("test", 0, 4)
+    assert blk.shape == (1, 4, 64 * 48 * 3 // 2)
+    rgb = np.asarray(src.unpack_raw_block(jnp.asarray(blk)))
+    assert rgb.shape == (1, 3, 4, 48, 64)
+    # Frame 0..4 at 120fps map to source frames 0,0,0,0 then 0/1 at 24fps.
+    assert np.array_equal(blk[0, 0], blk[0, 1])
+
+    # Mixed formats: 8-bit test vs 10-bit reference -> cv2 for both.
+    p10 = tmp_path / "c30_10b.mp4"
+    frames10 = [tuple((p.astype(np.uint16) * 4) for p in f)
+                for f in frames[:6]]
+    _encode(p10, frames10, fps=30, bit_depth=10, codec="libx265", crf=-1.0)
+    src2 = video_source_temp_resample_file(
+        str(p24), str(p10), display_photometry="standard_fhd")
+    assert not hasattr(src2, "unpack_raw_block")
+    blk2 = src2.get_raw_block("test", 0, 2)
+    assert blk2.shape == (1, 2, 3, 48, 64) and blk2.dtype == np.uint8
+
+
 def test_codec_source_preload_and_frame_list(tmp_path):
     from colorvideovdp_tpu.io.video_source_file import (
         video_source_codec_file,
