@@ -81,6 +81,12 @@ def available() -> bool:
     return _find_lib() is not None
 
 
+def enabled() -> bool:
+    """Native codec available AND not disabled via the env kill-switch
+    (single gate for all dispatch sites)."""
+    return available() and not os.environ.get("CVVDP_NO_NATIVE_DECODE")
+
+
 def _last_error() -> str:
     lib = _find_lib()
     return lib.vcodec_last_error().decode() if lib else "library not loaded"
@@ -118,21 +124,25 @@ class CodecVideoReader:
         elif pri == _AVCOL_PRI_BT2020:
             self.color_space = "2020"
         else:
-            # Untagged stream: the HD/SD heuristic swscale applies.
-            self.color_space = "709" if (self.width > 1024
-                                         or self.height > 600) else "601"
+            # Untagged stream: BT.601 at ANY resolution — matching what the
+            # reference's bare `ffmpeg -pix_fmt rgb24` pipe does (swscale's
+            # untagged default is 601 regardless of size), the OpenCV
+            # fallback, and this package's own untagged SDR writer.
+            self.color_space = "601"
         self.frame_bytes = int(info[11])
         self.dtype = np.uint16 if self.bit_depth > 8 else np.uint8
         self.frame_pixels = self.frame_bytes // self.dtype().itemsize
 
         self.y_pixels = self.width * self.height
         self.y_shape = (self.height, self.width)
+        # Chroma dims round UP for odd luma sizes (AVFrame semantics; the
+        # C core's plane layout matches).
         if self.chroma_ss == "444":
             self.uv_shape = self.y_shape
         elif self.chroma_ss == "422":
-            self.uv_shape = (self.height, self.width // 2)
+            self.uv_shape = (self.height, (self.width + 1) // 2)
         else:
-            self.uv_shape = (self.height // 2, self.width // 2)
+            self.uv_shape = ((self.height + 1) // 2, (self.width + 1) // 2)
         self.uv_pixels = self.uv_shape[0] * self.uv_shape[1]
 
         self._next = 0  # index the next vdec_next call returns

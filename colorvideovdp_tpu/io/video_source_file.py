@@ -724,11 +724,12 @@ class video_source_temp_resample_file(video_source_dm):
         from . import ffcodec
 
         def _mk_pair(fname):
-            if ffcodec.available() and not os.environ.get(
-                    "CVVDP_NO_NATIVE_DECODE"):
+            if ffcodec.enabled():
                 try:
                     return video_source_codec_file(fname, fname,
                                                    preload=True, **mk)
+                except vq_exception:
+                    raise
                 except Exception as e:
                     logging.warning(
                         f"Native decode unavailable for '{fname}' ({e}); "
@@ -841,7 +842,7 @@ def video_source_file(test_fname, reference_fname,
     )
     from . import ffcodec
 
-    if ffcodec.available() and not os.environ.get("CVVDP_NO_NATIVE_DECODE"):
+    if ffcodec.enabled():
         try:
             return video_source_codec_file(test_fname, reference_fname,
                                            preload=preload, **kw)
@@ -850,6 +851,10 @@ def video_source_file(test_fname, reference_fname,
                 f"Test/reference decode to different planar formats ({e}); "
                 "falling back to the OpenCV reader (8-bit RGB)."
             )
+        except vq_exception:
+            # User errors (fps/resolution mismatch) are not decode
+            # failures — surface them, do not fall back.
+            raise
         except Exception as e:
             logging.warning(
                 f"Native decode unavailable for this input ({e}); falling "

@@ -124,9 +124,11 @@ class NativeMp4Writer:
                                        bit_depth=8, codec="mpeg4", crf=3.0)
 
     def write_frame_rgb(self, rgb):
-        rgb = np.asarray(rgb, np.float64)
-        if rgb.dtype == np.uint8:
+        rgb = np.asarray(rgb)
+        if rgb.dtype == np.uint8:  # before the float cast, or 0..255 clips
             rgb = rgb.astype(np.float64) / 255.0
+        else:
+            rgb = rgb.astype(np.float64)
         H, W = rgb.shape[0], rgb.shape[1]
         if rgb.ndim == 2 or rgb.shape[2] == 1:
             rgb = np.repeat(rgb.reshape(H, W, 1), 3, axis=2)
@@ -181,8 +183,7 @@ class VideoWriter:
         from . import ffcodec
 
         is_y4m = fname.lower().endswith(".y4m")
-        if ffcodec.available() and not is_y4m \
-                and not os.environ.get("CVVDP_NO_NATIVE_DECODE"):
+        if ffcodec.enabled() and not is_y4m:
             self._native = NativeMp4Writer(fname, fps=fps, hdr_mode=hdr_mode,
                                            codec=codec, verbose=verbose)
             return

@@ -90,12 +90,18 @@ void classify_fmt(AVPixelFormat fmt, int *bit_depth, int *chroma,
     else if (d->log2_chroma_w == 1 && d->log2_chroma_h == 0) *chroma = 422;
     else *chroma = 420;
     if (d->nb_components < 3) { *chroma = 420; return; }  // gray etc.
-    // Directly copyable: little-endian (or 8-bit) planar YUV whose depth is
-    // one of the canonical ones.
+    // Directly copyable: little-endian (or 8-bit) fully-planar YUV whose
+    // depth is one of the canonical ones. NB semi-planar formats
+    // (NV12/P010: interleaved UV sharing one plane) also carry
+    // AV_PIX_FMT_FLAG_PLANAR — require each component to live in its OWN
+    // plane or copy_planar would read a NULL third plane.
     bool planar = (d->flags & AV_PIX_FMT_FLAG_PLANAR) != 0;
     bool rgb = (d->flags & AV_PIX_FMT_FLAG_RGB) != 0;
     bool be = (d->flags & AV_PIX_FMT_FLAG_BE) != 0;
-    if (planar && !rgb && !be && d->nb_components == 3 &&
+    bool own_planes = d->comp[0].plane != d->comp[1].plane &&
+                      d->comp[1].plane != d->comp[2].plane &&
+                      d->comp[0].plane != d->comp[2].plane;
+    if (planar && !rgb && !be && d->nb_components == 3 && own_planes &&
         (depth == 8 || depth == 10 || depth == 12 || depth == 16))
         *needs_convert = false;
 }
@@ -124,14 +130,18 @@ struct Decoder {
     }
 };
 
+// Chroma plane dimensions round UP for odd luma sizes (AVFrame semantics:
+// a 853-wide 4:2:0 frame carries ceil(853/2)=427 chroma columns).
+size_t chroma_w(int width, int chroma) {
+    return chroma == 444 ? (size_t)width : (size_t)((width + 1) / 2);
+}
+size_t chroma_h(int height, int chroma) {
+    return chroma == 420 ? (size_t)((height + 1) / 2) : (size_t)height;
+}
+
 size_t plane_pixels(const Decoder *d, int plane) {
-    size_t y = (size_t)d->width * d->height;
-    if (plane == 0) return y;
-    switch (d->chroma) {
-        case 444: return y;
-        case 422: return (size_t)(d->width / 2) * d->height;
-        default:  return (size_t)(d->width / 2) * (d->height / 2);
-    }
+    if (plane == 0) return (size_t)d->width * d->height;
+    return chroma_w(d->width, d->chroma) * chroma_h(d->height, d->chroma);
 }
 
 // Copy one decoded frame (already in a canonical planar layout) into the
@@ -139,12 +149,13 @@ size_t plane_pixels(const Decoder *d, int plane) {
 void copy_planar(const Decoder *d, const AVFrame *f, uint8_t *out) {
     int bytes = d->bit_depth > 8 ? 2 : 1;
     for (int p = 0; p < 3; p++) {
-        int ph = (p == 0 || d->chroma != 420) ? d->height : d->height / 2;
-        int pw = (p == 0 || d->chroma == 444) ? d->width
-                 : d->width / 2;
-        size_t row = (size_t)pw * bytes;
+        size_t ph = p == 0 ? (size_t)d->height
+                           : chroma_h(d->height, d->chroma);
+        size_t pw = p == 0 ? (size_t)d->width
+                           : chroma_w(d->width, d->chroma);
+        size_t row = pw * bytes;
         const uint8_t *src = f->data[p];
-        for (int r = 0; r < ph; r++) {
+        for (size_t r = 0; r < ph; r++) {
             std::memcpy(out, src, row);
             out += row;
             src += f->linesize[p];
@@ -190,14 +201,23 @@ void *vdec_open(const char *path, int64_t *info) {
     d->frame = av_frame_alloc();
     d->pkt = av_packet_alloc();
 
+    // avg_frame_rate (duration/frame-count based) over r_frame_rate: the
+    // reference reads ffprobe's r_frame_rate (video_source_file.py:100),
+    // but for b-frame streams the demuxer's r guess can land on a multiple
+    // (75/2 for a 30 fps clip), which would then fail the metric's own
+    // test/reference fps-equality check — deliberate accuracy-over-quirk
+    // deviation; the two agree on all sanely-muxed content.
     AVRational fr = st->avg_frame_rate.num ? st->avg_frame_rate
                                            : st->r_frame_rate;
     int64_t nb = st->nb_frames;
     if (nb <= 0 && st->duration > 0 && fr.num > 0) {
-        // duration (stream tb) * fps, rounded down like the reference's
-        // DURATION-tag fallback (video_source_file.py:108-115).
-        nb = av_rescale_q(st->duration, st->time_base,
-                          av_inv_q(fr));
+        // duration (stream tb) * fps, rounded DOWN exactly like the
+        // reference's DURATION-tag fallback int(np.floor(duration * fps))
+        // (video_source_file.py:108-115) — round-to-nearest would score a
+        // phantom repeated final frame on containers whose duration*fps
+        // has fractional part >= 0.5.
+        nb = av_rescale_q_rnd(st->duration, st->time_base, av_inv_q(fr),
+                              AV_ROUND_DOWN);
     }
     if (nb <= 0) nb = -1;
 
@@ -386,7 +406,10 @@ void *venc_open(const char *path, int width, int height, int fps_num,
         av_dict_set_int(&opts, "crf", crf < 0 ? 0 : (int64_t)crf, 0);
     } else if (cname == "libvpx-vp9") {
         av_dict_set_int(&opts, "crf", crf < 0 ? 0 : (int64_t)crf, 0);
-        av_dict_set(&opts, "b:v", "0", 0);
+        // Constant-quality mode needs bit_rate == 0 (the reference passes
+        // `-b:v 0`, video_writer.py:47 — but "b:v" is a CLI-only key; the
+        // AVCodecContext field is the real switch).
+        e->enc->bit_rate = 0;
         if (crf < 0) av_dict_set_int(&opts, "lossless", 1, 0);
     } else if (cname == "mpeg4") {
         // Reference SDR default: mpeg4 qscale 3 (video_writer.py:57).
@@ -425,11 +448,13 @@ int venc_write(void *h, const uint8_t *yuv) {
     int bytes = e->bit_depth > 8 ? 2 : 1;
     const uint8_t *src = yuv;
     for (int p = 0; p < 3; p++) {
-        int ph = (p == 0 || e->chroma != 420) ? e->height : e->height / 2;
-        int pw = (p == 0 || e->chroma == 444) ? e->width : e->width / 2;
-        size_t row = (size_t)pw * bytes;
+        size_t ph = p == 0 ? (size_t)e->height
+                           : chroma_h(e->height, e->chroma);
+        size_t pw = p == 0 ? (size_t)e->width
+                           : chroma_w(e->width, e->chroma);
+        size_t row = pw * bytes;
         uint8_t *dst = e->frame->data[p];
-        for (int r = 0; r < ph; r++) {
+        for (size_t r = 0; r < ph; r++) {
             std::memcpy(dst, src, row);
             src += row;
             dst += e->frame->linesize[p];

@@ -112,6 +112,70 @@ def test_lossless_roundtrip_12bit_ffv1(tmp_path):
     rd.unload()
 
 
+def test_odd_dimension_420_ceil_chroma(tmp_path):
+    """Odd-dimension 4:2:0 video (legal via container cropping) carries
+    ceil-sized chroma planes; flooring would drop the last chroma
+    column/row (code-review finding)."""
+    rng = np.random.RandomState(4)
+    W, H = 63, 49
+    y = rng.randint(0, 256, (H, W)).astype(np.uint8)
+    u = rng.randint(0, 256, ((H + 1) // 2, (W + 1) // 2)).astype(np.uint8)
+    v = rng.randint(0, 256, ((H + 1) // 2, (W + 1) // 2)).astype(np.uint8)
+    p = tmp_path / "odd.mkv"
+    w = ffcodec.CodecVideoWriter(str(p), W, H, 30, bit_depth=8,
+                                 codec="ffv1", crf=-1.0)
+    for _ in range(2):
+        w.write_frame_yuv(y, u, v)
+    w.close()
+    rd = ffcodec.CodecVideoReader(str(p))
+    assert rd.uv_shape == (25, 32)
+    got = rd.get_packed_frames(0, 2)
+    ref = np.concatenate([y.ravel(), u.ravel(), v.ravel()])
+    assert np.array_equal(got[0], ref)
+    rd.unload()
+
+
+def test_untagged_stream_is_bt601_at_any_size(tmp_path):
+    """Streams without colour tags decode with the BT.601 matrix regardless
+    of resolution — matching the reference's bare ffmpeg rgb24 pipe
+    (swscale's untagged default), the OpenCV fallback, and this package's
+    own untagged SDR writer (code-review finding: a 709-for-HD heuristic
+    broke parity on untagged 1080p)."""
+    z = np.zeros((720, 1280), np.uint8) + 128
+    zc = np.zeros((360, 640), np.uint8) + 128
+    p = tmp_path / "hd.mp4"
+    w = ffcodec.CodecVideoWriter(str(p), 1280, 720, 30, bit_depth=8,
+                                 codec="libx264", crf=20.0)
+    w.write_frame_yuv(z, zc, zc)
+    w.close()
+    rd = ffcodec.CodecVideoReader(str(p))
+    assert rd.color_space == "601"
+    rd.unload()
+
+
+def test_native_writer_uint8_frames(tmp_path):
+    """VideoWriter accepts uint8 SDR frames (its documented contract);
+    the native route must rescale them by /255 before quantisation
+    (code-review finding: the float cast ran first, clipping 0..255 to 1
+    and producing solid-white dumps)."""
+    from colorvideovdp_tpu.io.writers import VideoWriter
+
+    p = tmp_path / "u8.mp4"
+    vw = VideoWriter(str(p), fps=24)
+    grad = np.tile(np.arange(64, dtype=np.uint8) * 4, (48, 1))
+    frame = np.stack([grad] * 3, axis=-1)
+    for _ in range(2):
+        vw.write_frame_rgb(frame)
+    vw.close()
+    rd = ffcodec.CodecVideoReader(str(p))
+    got = rd.get_packed_frames(0, 1)[0]
+    Y = got[: 64 * 48].reshape(48, 64).astype(np.float32)
+    # A gradient, not a clipped constant: wide luma spread, monotone rows.
+    assert Y.max() - Y.min() > 150
+    assert Y[0, -1] > Y[0, 0] + 100
+    rd.unload()
+
+
 def test_codec_source_10bit_mp4_matches_yuv_route(tmp_path):
     """The same 10-bit content fed as a lossless HEVC mp4 and as a raw .yuv
     file must score the same JOD: both unpack on-device with the BT.2020
