@@ -147,7 +147,7 @@ class CodecVideoReader:
 
         self._next = 0  # index the next vdec_next call returns
         self._last = None  # most recent decoded frame (tail repeat)
-        self._buf = ctypes.create_string_buffer(self.frame_bytes)
+        self._scratch = np.empty(self.frame_pixels, self.dtype)
         if meta_frames <= 0 or frames == -2:
             meta_frames = self._count_frames()
         self.frames = meta_frames if frames in (-1, -2) else min(
@@ -155,8 +155,9 @@ class CodecVideoReader:
 
     def _count_frames(self) -> int:
         n = 0
-        while self._lib.vdec_next(self._h, self._buf) == 1:
+        while self._decode_into(self._scratch):
             n += 1
+        self._next = 0
         self._rewind()
         return n
 
@@ -165,16 +166,18 @@ class CodecVideoReader:
             raise RuntimeError(f"rewind failed: {_last_error()}")
         self._next = 0
 
-    def _decode_next(self):
-        r = self._lib.vdec_next(self._h, self._buf)
+    def _decode_into(self, arr: np.ndarray) -> bool:
+        """Decode the next frame DIRECTLY into ``arr`` (a contiguous
+        frame_pixels-sized view) — the C core memcpys plane rows straight
+        into the caller's block, no intermediate staging buffer."""
+        r = self._lib.vdec_next(
+            self._h, arr.ctypes.data_as(ctypes.c_void_p))
         if r < 0:
             raise RuntimeError(f"decode failed: {_last_error()}")
         if r == 0:
-            return None
+            return False
         self._next += 1
-        frame = np.frombuffer(self._buf.raw, self.dtype).copy()
-        self._last = frame
-        return frame
+        return True
 
     def get_frame_count(self) -> int:
         return self.frames
@@ -184,23 +187,25 @@ class CodecVideoReader:
 
     def get_packed_frames(self, start: int, count: int) -> np.ndarray:
         """Packed planar frames (count, frame_pixels); indices past the end
-        repeat the last frame (same contract as YUVReader)."""
+        repeat the last frame (same contract as YUVReader). Frames decode
+        zero-copy into the returned block."""
         if start < self._next - 1 or (start == self._next - 1
                                       and self._last is None):
             self._rewind()
         out = np.empty((count, self.frame_pixels), self.dtype)
         for i in range(count):
             idx = start + i
-            if idx >= self.frames:
-                out[i] = self._last if self._last is not None else 0
-                continue
-            if idx == self._next - 1 and self._last is not None:
-                out[i] = self._last
-                continue
-            while self._next <= idx:
-                f = self._decode_next()
-                if f is None:  # container shorter than metadata claimed
-                    break
+            if idx < self.frames:
+                while self._next < idx:  # discard frames we skip over
+                    if not self._decode_into(self._scratch):
+                        break  # container shorter than metadata claimed
+                    self._last = self._scratch
+                if idx == self._next - 1 and self._last is not None:
+                    out[i] = self._last  # re-serve of the previous frame
+                    continue
+                if self._next == idx and self._decode_into(out[i]):
+                    self._last = out[i]
+                    continue
             out[i] = self._last if self._last is not None else 0
         return out
 
