@@ -120,15 +120,22 @@ class CodecVideoReader:
         self.color_trc = int(info[9])
         spc, pri = int(info[7]), int(info[10])
         if spc in _AVCOL_SPC:
+            # Explicit stream tags are honoured with their true matrices
+            # (the reference's default reader only distinguishes bt2020nc
+            # vs everything-else-709, video_source_file.py:268-277; using
+            # the real 601 matrix for 601-tagged content is a deliberate
+            # correctness improvement on rare content).
             self.color_space = _AVCOL_SPC[spc]
         elif pri == _AVCOL_PRI_BT2020:
             self.color_space = "2020"
         else:
-            # Untagged stream: BT.601 at ANY resolution — matching what the
-            # reference's bare `ffmpeg -pix_fmt rgb24` pipe does (swscale's
-            # untagged default is 601 regardless of size), the OpenCV
-            # fallback, and this package's own untagged SDR writer.
-            self.color_space = "601"
+            # Untagged: BT.709 — the reference's DEFAULT mp4 route (raw-YUV
+            # ffmpeg pipe + torch-side conversion) applies the 709 matrix
+            # to every non-bt2020 stream regardless of tags or size
+            # (video_source_file.py:268-277). (Its non-default --ffmpeg-cc
+            # rgb24 pipe would say 601; the two reference paths disagree —
+            # we follow the default.)
+            self.color_space = "709"
         self.frame_bytes = int(info[11])
         self.dtype = np.uint16 if self.bit_depth > 8 else np.uint8
         self.frame_pixels = self.frame_bytes // self.dtype().itemsize

@@ -376,17 +376,25 @@ void *venc_open(const char *path, int width, int height, int fps_num,
     e->enc->framerate = {fps_num, fps_den};
     e->enc->pix_fmt = canonical_fmt(bit_depth, chroma);
     e->enc->thread_count = 0;
+    std::string cname(codec_name);
     if (hdr_tags) {
         e->enc->color_primaries = AVCOL_PRI_BT2020;
         e->enc->color_trc = AVCOL_TRC_SMPTE2084;
         e->enc->colorspace = AVCOL_SPC_BT2020_NCL;
+        e->enc->color_range = AVCOL_RANGE_MPEG;
+    } else if (cname != "mpeg4") {
+        // Tag SDR h264/h265/vp9 streams truthfully: the Python writers
+        // convert RGB->YCbCr with BT.601, and an explicit tag lets any
+        // reader (including this package's) round-trip exactly. mpeg4
+        // stays untagged to byte-match the reference's SDR preview writer
+        // (video_writer.py:57-64 — bare rgb24 pipe, no tags).
+        e->enc->colorspace = AVCOL_SPC_SMPTE170M;
         e->enc->color_range = AVCOL_RANGE_MPEG;
     }
     if (e->fmt->oformat->flags & AVFMT_GLOBALHEADER)
         e->enc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
 
     AVDictionary *opts = nullptr;
-    std::string cname(codec_name);
     if (cname == "libx265") {
         av_dict_set(&opts, "preset", "fast", 0);
         std::string params = crf < 0 ? "lossless=1" : "";

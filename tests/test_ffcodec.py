@@ -135,21 +135,33 @@ def test_odd_dimension_420_ceil_chroma(tmp_path):
     rd.unload()
 
 
-def test_untagged_stream_is_bt601_at_any_size(tmp_path):
-    """Streams without colour tags decode with the BT.601 matrix regardless
-    of resolution — matching the reference's bare ffmpeg rgb24 pipe
-    (swscale's untagged default), the OpenCV fallback, and this package's
-    own untagged SDR writer (code-review finding: a 709-for-HD heuristic
-    broke parity on untagged 1080p)."""
+def test_colour_matrix_selection(tmp_path):
+    """Matrix selection mirrors the reference's DEFAULT mp4 route
+    (video_source_file.py:268-277): untagged streams get BT.709 at any
+    size; explicit tags are honoured. SDR x264 encodes from this package
+    are tagged BT.601 (truthful — the writers convert with 601) so they
+    round-trip exactly; mpeg4 stays untagged like the reference's SDR
+    preview writer."""
     z = np.zeros((720, 1280), np.uint8) + 128
     zc = np.zeros((360, 640), np.uint8) + 128
-    p = tmp_path / "hd.mp4"
-    w = ffcodec.CodecVideoWriter(str(p), 1280, 720, 30, bit_depth=8,
+
+    p601 = tmp_path / "tagged.mp4"
+    w = ffcodec.CodecVideoWriter(str(p601), 1280, 720, 30, bit_depth=8,
                                  codec="libx264", crf=20.0)
     w.write_frame_yuv(z, zc, zc)
     w.close()
-    rd = ffcodec.CodecVideoReader(str(p))
-    assert rd.color_space == "601"
+    rd = ffcodec.CodecVideoReader(str(p601))
+    assert rd.color_space == "601"  # explicit smpte170m tag honoured
+    assert not rd.color_range_full
+    rd.unload()
+
+    pun = tmp_path / "untagged.mp4"
+    w = ffcodec.CodecVideoWriter(str(pun), 1280, 720, 30, bit_depth=8,
+                                 codec="mpeg4", crf=3.0)
+    w.write_frame_yuv(z, zc, zc)
+    w.close()
+    rd = ffcodec.CodecVideoReader(str(pun))
+    assert rd.color_space == "709"  # untagged -> reference-default 709
     rd.unload()
 
 
