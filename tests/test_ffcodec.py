@@ -237,6 +237,56 @@ def test_codec_source_10bit_mp4_matches_yuv_route(tmp_path):
         float(q_mp4), float(q_yuv))
 
 
+def test_codec_unpack_matches_reference_yuv_reader(reference, tmp_path):
+    """Oracle parity for the mp4 conversion math: the reference's DEFAULT
+    mp4 reader (video_reader_yuv_pytorch.unpack — fixed->float, torch
+    bilinear chroma upsample, 709/2020 matrix) run on the same planes must
+    agree with this package's device-side unpack to ~1e-4 (the reference
+    hard-codes 4-decimal matrix constants; we derive them exactly)."""
+    import jax.numpy as jnp
+    import torch
+
+    from colorvideovdp_tpu.io.video_source_file import (
+        video_source_codec_file,
+    )
+
+    rng = np.random.RandomState(17)
+    W, H = 96, 64
+    for bit_depth, tag_hdr, ref_cs in ((10, True, "bt2020nc"),
+                                       (8, False, "unknown")):
+        frames = [_rand_planar(rng, W, H, bit_depth, smooth=True)]
+        p = tmp_path / f"o{bit_depth}.mp4"
+        codec = "libx265" if bit_depth == 10 else "mpeg4"
+        _encode(p, frames, fps=30, bit_depth=bit_depth, codec=codec,
+                crf=-1.0 if bit_depth == 10 else 2.0, hdr_tags=tag_hdr)
+
+        src = video_source_codec_file(str(p), str(p),
+                                      display_photometry="standard_fhd")
+        blk = src.get_raw_block("test", 0, 1)
+        ours = np.asarray(src.unpack_raw_block(jnp.asarray(blk)))
+        ours_hwc = ours[0, :, 0].transpose(1, 2, 0)
+
+        import importlib
+
+        ref_vsf = importlib.import_module("pycvvdp.video_source_file")
+        vrc = ref_vsf.video_reader_yuv_pytorch
+        vr = vrc.__new__(vrc)
+        vr.bit_depth = bit_depth
+        vr.chroma_ss = "420"
+        vr.color_space = ref_cs
+        vr.height, vr.width = H, W
+        vr.y_pixels = H * W
+        vr.y_shape = (H, W)
+        vr.uv_shape = (H // 2, W // 2)
+        vr.uv_pixels = (H // 2) * (W // 2)
+        with torch.no_grad():
+            # The decoded planes, not the pre-encode ones: mpeg4 at q2 is
+            # not lossless, and the comparison is about conversion math.
+            rgb_ref = vr.unpack(blk[0, 0], torch.device("cpu")).numpy()
+        d = np.abs(ours_hwc - rgb_ref)
+        assert d.max() < 1.5e-4, (bit_depth, d.max())
+
+
 def test_codec_unpack_matches_cv2_8bit(tmp_path):
     """8-bit SDR cross-validation against OpenCV's swscale conversion.
 
