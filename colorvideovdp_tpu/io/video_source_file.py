@@ -842,7 +842,11 @@ def video_source_file(test_fname, reference_fname,
     )
     from . import ffcodec
 
-    if ffcodec.enabled():
+    # --ffmpeg-cc asks for the host-side swscale colour conversion
+    # (reference: run_cvvdp.py routes to the rgb24/rgb48le pipe instead of
+    # its device-converting YUV reader); the cv2 route is that pipe's
+    # equivalent here.
+    if ffcodec.enabled() and not ffmpeg_cc:
         try:
             return video_source_codec_file(test_fname, reference_fname,
                                            preload=preload, **kw)
