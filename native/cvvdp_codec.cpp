@@ -318,6 +318,7 @@ struct Encoder {
     int bit_depth = 8;
     int chroma = 420;
     int64_t pts = 0;
+    int64_t mux_seq = 0;  // fallback timestamp for ts-less packets
     bool header_written = false;
 
     ~Encoder() {
@@ -338,6 +339,25 @@ int drain_packets(Encoder *e) {
         int ret = avcodec_receive_packet(e->enc, e->pkt);
         if (ret == AVERROR(EAGAIN) || ret == AVERROR_EOF) return 0;
         if (ret < 0) { set_err("encode error", ret); return -1; }
+        // Timestamp sanitation. Two real encoder defects observed here:
+        // (a) mpeg4 intermittently emits packets with unset (NOPTS)
+        // timestamps; (b) the libx265 wrapper emits UNINITIALIZED dts
+        // (address-like garbage, varies per process) on streams whose
+        // packets all surface at flush — the mp4 muxer then fails with
+        // "pts/dts pair unsupported". Frames enter at one tick each in
+        // encoder time_base, so valid dts can never trail pts by more
+        // than the reorder delay (~16 frames) nor exceed pts.
+        if (e->pkt->pts == AV_NOPTS_VALUE)
+            e->pkt->pts = e->mux_seq;
+        if (e->pkt->dts == AV_NOPTS_VALUE ||
+            e->pkt->dts > e->pkt->pts ||
+            e->pkt->dts < e->pkt->pts - 64)
+            e->pkt->dts = e->pkt->pts;
+        e->mux_seq = e->pkt->pts + 1;
+        if (getenv("CVVDP_CODEC_DEBUG"))
+            fprintf(stderr, "[venc] pkt pts=%lld dts=%lld dur=%lld size=%d\n",
+                    (long long)e->pkt->pts, (long long)e->pkt->dts,
+                    (long long)e->pkt->duration, e->pkt->size);
         av_packet_rescale_ts(e->pkt, e->enc->time_base, e->st->time_base);
         e->pkt->stream_index = e->st->index;
         ret = av_interleaved_write_frame(e->fmt, e->pkt);
