@@ -31,6 +31,8 @@ the fused pipeline (every kernel's reads+writes; see _traffic_model),
 from __future__ import annotations
 
 import json
+import logging
+import os
 import sys
 import time
 
@@ -361,6 +363,43 @@ def main():
     frame_mb = 2 * 3 * H * W / 2**20
     tunnel_fps = (mb / tunnel_warm_s) / frame_mb
 
+    # Native mp4 decode rate (720p probe): the real container ingest path
+    # (native/cvvdp_codec.cpp planar decode, unpacked on device). Host-only
+    # figure; sized small so the x264 encode stays cheap on this 1-core
+    # host.
+    mp4_decode_fps = None
+    try:
+        import tempfile
+
+        from colorvideovdp_tpu.io import ffcodec
+
+        if ffcodec.enabled():
+            from scipy.ndimage import gaussian_filter
+
+            pw, ph, pn = 1280, 720, 48
+            rng_p = np.random.RandomState(7)
+            yp = np.clip(gaussian_filter(rng_p.randn(ph, pw), 2) * 90 + 128,
+                         0, 255).astype(np.uint8)
+            up = np.clip(gaussian_filter(rng_p.randn(ph // 2, pw // 2), 2)
+                         * 60 + 128, 0, 255).astype(np.uint8)
+            probe = tempfile.mktemp(suffix=".mp4")
+            wenc = ffcodec.CodecVideoWriter(probe, pw, ph, 30, bit_depth=8,
+                                            codec="libx264", crf=23.0)
+            for i in range(pn):
+                wenc.write_frame_yuv(np.roll(yp, i, axis=1), up, up)
+            wenc.close()
+            best = 0.0
+            for _ in range(3):
+                rd = ffcodec.CodecVideoReader(probe)
+                t0 = time.time()
+                rd.get_packed_frames(0, pn)
+                best = max(best, pn / (time.time() - t0))
+                rd.unload()
+            os.remove(probe)
+            mp4_decode_fps = round(best, 1)
+    except Exception as e:  # bench must never die on the probe
+        logging.debug(f"mp4 decode probe skipped: {e}")
+
     gb_frame = _traffic_model(m, H, W, blk, fl) / 1e9
     achieved = gb_frame * dev_fps
 
@@ -372,6 +411,7 @@ def main():
         "e2e_fps": round(e2e_fps, 3),
         "e2e_model_fps": round(min(decode_fps, dev_fps), 2),
         "decode_fps": round(decode_fps, 2),
+        "mp4_decode_fps_720p": mp4_decode_fps,
         "tunnel_transfer_fps": round(tunnel_fps, 3),
         "e2e_note": ("e2e ~= min(decode, device) in production "
                      "(overlap: tests/test_overlap.py); here the tunnel "
