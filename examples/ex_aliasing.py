@@ -1,4 +1,6 @@
-"""Score the ferris-wheel aliasing clips (mp4 decode via OpenCV).
+"""Score the ferris-wheel aliasing clips (mp4 decode via the native codec
+core; OpenCV fallback when it is not built — absolute mp4 JODs are
+decoder-conditional, see SURVEY §7).
 Run from the repository root:  python examples/ex_aliasing.py"""
 
 import os
