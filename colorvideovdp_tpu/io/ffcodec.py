@@ -176,11 +176,22 @@ class CodecVideoReader:
     def _decode_into(self, arr: np.ndarray) -> bool:
         """Decode the next frame DIRECTLY into ``arr`` (a contiguous
         frame_pixels-sized view) — the C core memcpys plane rows straight
-        into the caller's block, no intermediate staging buffer."""
+        into the caller's block, no intermediate staging buffer.
+
+        Mid-stream decode/demux errors (truncated or damaged files) degrade
+        to end-of-stream with a warning: callers then repeat the last good
+        frame, exactly how the reference behaves when its ffmpeg pipe dies
+        mid-clip (the pipe read returns short -> get_frame None -> repeat).
+        """
         r = self._lib.vdec_next(
             self._h, arr.ctypes.data_as(ctypes.c_void_p))
         if r < 0:
-            raise RuntimeError(f"decode failed: {_last_error()}")
+            logger.warning(
+                f"decode error in '{self.file_name}' at frame "
+                f"{self._next} ({_last_error()}); treating as end of "
+                "stream — remaining frames repeat the last good one"
+            )
+            return False
         if r == 0:
             return False
         self._next += 1
