@@ -1147,6 +1147,8 @@ class cvvdp(vq_metric):
         )
         mesh = getattr(self, "sharding_mesh", None)
         n_space = int(mesh.shape["space"]) if mesh is not None else 1
+        n_batch = (int(dict(mesh.shape).get("batch", 1))
+                   if mesh is not None else 1)
 
         # Raw-band mode: the interior levels skip the con/logL
         # materialisations entirely — the Weber division happens inside the
@@ -1259,7 +1261,7 @@ class cvvdp(vq_metric):
                 raw_shard_ok = (
                     mesh is None
                     or (h_b % n_space == 0 and h_b // n_space >= 8
-                        and gi_b.shape[0] == 1)
+                        and gi_b.shape[0] % n_batch == 0)
                 )
                 # Tiny deep bands stay on XLA: each Pallas instance is
                 # another slow remote Mosaic compile for ~1% of the pixels.
@@ -1360,7 +1362,7 @@ class cvvdp(vq_metric):
             shard_ok = (
                 mesh is None
                 or (h_b % n_space == 0 and h_b // n_space >= 8
-                    and B_bands[bb].shape[0] == 1)
+                    and B_bands[bb].shape[0] % n_batch == 0)
             ) if not raw_band else True
             if raw_band and T_f is None:
                 pass  # D already computed by the raw fused kernel

@@ -477,7 +477,11 @@ def make_fused_mult_mutual_raw(luts: np.ndarray, x0: float, x1: float,
         from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
 
-        s4 = P(None, None, "space", None)
+        # The kernels see (C, L=B*F, H, W): rows sharded over "space", and
+        # the folded batch*frame dim over "batch" (batched image pairs —
+        # each device owns B/n_batch pairs' frames; axis size 1 is a no-op).
+        bax = "batch" if "batch" in mesh.axis_names else None
+        s4 = P(None, bax, "space", None)
         a_call = shard_map(a_call, mesh=mesh, in_specs=(s4, s4),
                            out_specs=(s4, s4), check_rep=False)
         b_call = shard_map(b_call, mesh=mesh, in_specs=(s4, s4),
@@ -583,8 +587,9 @@ def make_fused_mult_mutual(luts: np.ndarray, x0: float, x1: float, gains,
         from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
 
-        s4 = P(None, None, "space", None)
-        s3 = P(None, "space", None)
+        bax = "batch" if "batch" in mesh.axis_names else None
+        s4 = P(None, bax, "space", None)
+        s3 = P(bax, "space", None)
         a_call = shard_map(a_call, mesh=mesh, in_specs=(s4, s4, s3),
                            out_specs=(s4, s4), check_rep=False)
         b_call = shard_map(b_call, mesh=mesh, in_specs=(s4, s4),

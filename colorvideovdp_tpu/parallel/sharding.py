@@ -54,17 +54,17 @@ def shard_scoring_fn(metric, vid_source, met_colorspace, raw_shape, dtype,
     """
     dm = vid_source.dm_photometry
 
-    # With a single image pair on an all-"space" mesh the fused Pallas
-    # kernels stay enabled and run per shard via shard_map (the same route
-    # the sharded VIDEO step uses, metrics/cvvdp.py:_process_block) —
-    # VERDICT r2 measured the kernel-less trace at 2.03x the fused step at
-    # 1080p. Batched pairs (B > 1) or heatmap traces keep the pure-XLA
-    # path: the kernels' shard_map reshape folds the batch axis into the
-    # frame axis, which would reshard a batch-sharded tensor.
+    # The fused Pallas kernels stay enabled and run per shard via shard_map
+    # (the same route the sharded VIDEO step uses,
+    # metrics/cvvdp.py:_process_block) — VERDICT r2 measured the
+    # kernel-less trace at 2.03x the fused step at 1080p. Batched pairs
+    # ride the kernels' folded (C, B*F, H, W) layout with the L dim
+    # sharded over "batch" (each device owns whole pairs), provided B
+    # divides the batch axis. Heatmap traces keep the pure-XLA path.
     n_sp = int(mesh.shape["space"])
+    n_b = int(mesh.shape["batch"])
     use_kernels = (
-        int(raw_shape[0]) == 1
-        and int(mesh.shape["batch"]) == 1
+        int(raw_shape[0]) % n_b == 0
         and not metric.do_heatmap
         and getattr(metric, "enable_fused_kernels", True)
     )
