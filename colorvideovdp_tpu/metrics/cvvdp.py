@@ -627,6 +627,12 @@ class cvvdp(vq_metric):
             mem_avail = min(self.gpu_mem * 1e9, mem_avail)
         a = 0.6e9
         b = 24  # two fp32 3-channel sliding-window buffers
+        # NOTE: with tail donation removed (docs/step_profile.md finding 2)
+        # the old+new tails can briefly be live together, adding up to
+        # another `pix*(fl-1)*24` bytes at peak that this linear model does
+        # not charge. bench.py guards the headline run with an OOM-retry at
+        # a tighter budget; re-fit b against a measured 4K peak when the
+        # device is reachable.
         # Working-set coefficient measured for the fused pipeline (the
         # reference's torch value was 320; XLA's buffer reuse is tighter).
         c = 160 if not self.training_mode else 800
