@@ -114,6 +114,68 @@ def test_sharded_batched_image_kernels_match_single():
                                atol=2e-4)
 
 
+def test_sharded_batched_video_kernels_match_single():
+    """B=2 clips on a (2, 4) mesh through the full sharded video step
+    (FIR + pyramid + shard_map'd Pallas kernels, interpret): per-clip JODs
+    must match single-device batched scoring."""
+    import jax
+    from jax.sharding import Mesh
+
+    from colorvideovdp_tpu.io.video_source import video_source_array
+    from colorvideovdp_tpu.ops.temporal import get_temporal_filters
+    from colorvideovdp_tpu.parallel.sharding import (
+        shard_video_fn,
+        video_block_sharding,
+    )
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs the 8-device CPU mesh")
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4),
+                ("batch", "space"))
+
+    H, W, N, blk, fps = 32, 192, 8, 4, 30.0
+    rng = np.random.RandomState(11)
+    vt = rng.randint(0, 255, (2, H, W, 3, N), dtype=np.uint8)
+    vr = rng.randint(0, 255, (2, H, W, 3, N), dtype=np.uint8)
+
+    mv = cv.cvvdp(display_name="standard_4k", quiet=True)
+    mv.force_fused = True
+    mv._ensure_pyramids(W, H)
+    mv.F, _ = get_temporal_filters(fps, mv.sigma_tf, mv.beta_tf,
+                                   mv.temp_filter)
+    mv.filter_len = int(mv.F[0].shape[0])
+    vsrc = video_source_array(vt, vr, fps, dim_order="BHWCF",
+                              display_photometry=mv.display_photometry)
+
+    v_sh = video_block_sharding(mesh)
+    Q_blocks = []
+    tails = None
+    for ff in range(0, N, blk):
+        raw_t = vsrc.get_raw_block("test", ff, blk)
+        raw_r = vsrc.get_raw_block("reference", ff, blk)
+        fn = shard_video_fn(mv, vsrc, "DKLd65", raw_t.shape, raw_t.dtype,
+                            mesh, first=(ff == 0))
+        dt = jax.device_put(raw_t, v_sh)
+        dr = jax.device_put(raw_r, v_sh)
+        if ff == 0:
+            Qb, t_t, t_r = fn(dt, dr)
+        else:
+            Qb, t_t, t_r = fn(tails[0], tails[1], dt, dr)
+        tails = (t_t, t_r)
+        Q_blocks.append(np.asarray(Qb))
+    Q_video = np.asarray(
+        mv.do_pooling_and_jods(np.concatenate(Q_blocks, axis=2))
+    ).reshape(-1)
+
+    m1 = cv.cvvdp(display_name="standard_4k", quiet=True)
+    Q_single, _ = m1.predict(vt, vr, dim_order="BHWCF",
+                             frames_per_second=fps)
+    np.testing.assert_allclose(Q_video, np.asarray(Q_single).reshape(-1),
+                               atol=2e-4)
+
+
 def test_sharded_image_kernels_match_single():
     """B=1 image pair on an all-"space" mesh: the fused Pallas kernels stay
     enabled (shard_map per shard, interpret mode here) instead of the
