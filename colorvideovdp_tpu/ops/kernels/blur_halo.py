@@ -32,14 +32,19 @@ def _ceil_to(v: int, m: int) -> int:
     return -(-v // m) * m
 
 
-def apply_blur_tile(sl, i, nT, taps, th, H, W, Wp=None):
+def apply_blur_tile(sl, i, nT, taps, th, H, W, Wp=None, v_corrections=True):
     """Both separable blur passes + reflect corrections for one (th, Wp)
     tile. ``sl(start, size)`` reads rows from the 8-row-lead-in halo slab
     (scratch[idx] = x[i*th - 8 + idx]); ``i`` is the row-tile grid index.
     ``H``/``W`` are the REAL image sizes; ``Wp`` the (lane-aligned) buffer
     width, whose columns >= W hold zeros. Shared by the standalone blur
     kernel below and the fused blur+transducer kernel
-    (masking_fused._blur_b_kernel)."""
+    (masking_fused._blur_b_kernel).
+
+    ``v_corrections=False`` skips the top/bottom reflect corrections: the
+    caller supplies a slab whose first/last rows are real halo context
+    (sharded row slabs with exchanged halos) — only rows at distance >= r
+    from the slab edges are then exact, which is what the shard keeps."""
     if Wp is None:
         Wp = W
     ks = len(taps)
@@ -53,7 +58,7 @@ def apply_blur_tile(sl, i, nT, taps, th, H, W, Wp=None):
     row = jax.lax.broadcasted_iota(jnp.int32, (th, 1), 0)
     # Top edge (tile 0): taps reaching x[g + t - r < 0] found zeros; add
     # the reflected k[t] * x[r - g - t].
-    for g in range(min(r, th)):
+    for g in range(min(r, th) if v_corrections else 0):
         corr = None
         for t in range(r - g):
             term = float(taps[t]) * sl(r - g - t + 8, 1)[0]
@@ -64,7 +69,7 @@ def apply_blur_tile(sl, i, nT, taps, th, H, W, Wp=None):
     # global row gr carries its own owning-tile mask (the rows just above
     # the true bottom edge can straddle a tile boundary when H is not a
     # tile multiple).
-    for dg in range(r):
+    for dg in range(r if v_corrections else 0):
         gr = H - r + dg
         if gr < 0:
             continue

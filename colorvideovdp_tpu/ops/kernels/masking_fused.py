@@ -102,7 +102,7 @@ def _kernel_b(m_ref, diff_ref, d_ref, *, qs, p, xcm, max_v):
 
 def _blur_b_kernel(m_hbm, diff_ref, d_ref, scratch, sem, *, taps, scale,
                    qs, p, xcm, max_v, C, th, H, W, Hp, Wp, nT,
-                   pool_beta=None):
+                   pool_beta=None, row_off=0, h_valid=None):
     """Fused phase-uncertainty blur + masking transducer: one halo'd read of
     M_pre per tile (manual DMA, same slab scheme as kernels/blur_halo.py),
     both blur passes + reflect corrections, the 10^mask_c scale, safe_pow,
@@ -164,7 +164,7 @@ def _blur_b_kernel(m_hbm, diff_ref, d_ref, scratch, sem, *, taps, scale,
     for c in range(C):
         yh = apply_blur_tile(
             lambda s, n, _c=c: scratch[_c, pl.ds(s, n), :], i, nT, taps,
-            th, H, W, Wp,
+            th, H, W, Wp, v_corrections=row_off == 0,
         )
         m_b = yh * float(scale)
         q = float(qs[c])
@@ -197,7 +197,14 @@ def _blur_b_kernel(m_hbm, diff_ref, d_ref, scratch, sem, *, taps, scale,
     b = float(pool_beta)
     L = d_ref.shape[1]
     rows = jax.lax.broadcasted_iota(jnp.int32, (th, Wp), 0)
-    valid = (i * th + rows) < H  # mask the padded rows of the last tile
+    gr = i * th + rows
+    if row_off or h_valid is not None:
+        # Halo'd shard slab: pool only the shard-owned row window (the
+        # first/last row_off rows are exchanged neighbour context).
+        hv = h_valid if h_valid is not None else H - row_off
+        valid = (gr >= row_off) & (gr < row_off + hv)
+    else:
+        valid = gr < H  # mask the padded rows of the last tile
     if W < Wp:
         # Padded columns contribute exactly 0 (diff == 0 there), but mask
         # them anyway so any upstream change cannot silently leak in.
@@ -258,7 +265,8 @@ def _bt_tile(C, H, W):
 
 def fused_blur_transducer(m_pre, diff, taps, scale, qs, p: float,
                           xcm: np.ndarray, max_v: float, pool_beta=None,
-                          interpret=None, real_hw=None):
+                          interpret=None, real_hw=None, row_off=0,
+                          h_valid=None):
     """(C, L, H, W) M_pre (pre-blur) + diff -> D, with the phase-uncertainty
     blur applied to M in-kernel. With ``pool_beta`` the spatial pooling sum
     is fused too and the result is (C, L) per-plane sum(safe_pow(D, beta))
@@ -266,7 +274,12 @@ def fused_blur_transducer(m_pre, diff, taps, scale, qs, p: float,
 
     ``real_hw``: when the caller already padded the tensors (zeros beyond
     the true edges), the real (H, W) the reflect corrections and pooling
-    mask anchor to. Otherwise unaligned inputs are padded/sliced here."""
+    mask anchor to. Otherwise unaligned inputs are padded/sliced here.
+
+    ``row_off``/``h_valid``: halo'd shard mode (pooled path only) — input
+    rows are a shard's slab with ``row_off`` rows of real neighbour
+    context above and below; vertical reflect corrections are disabled
+    and only rows [row_off, row_off + h_valid) feed the pooled sum."""
     C, L, H, W = m_pre.shape
     if real_hw is not None:
         Hr, Wr = real_hw
@@ -283,12 +296,16 @@ def fused_blur_transducer(m_pre, diff, taps, scale, qs, p: float,
     nT = -(-Hp // th)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    assert row_off == 0 or pool_beta is not None, (
+        "halo'd shard mode is pooled-only")
     kern = functools.partial(
         _blur_b_kernel, taps=tuple(float(t) for t in taps),
         scale=float(scale), qs=tuple(float(q) for q in qs), p=float(p),
         xcm=np.asarray(xcm, np.float32), max_v=float(max_v), C=C, th=th,
         H=Hr, W=Wr, Hp=Hp, Wp=Wp, nT=nT,
         pool_beta=None if pool_beta is None else float(pool_beta),
+        row_off=int(row_off),
+        h_valid=None if h_valid is None else int(h_valid),
     )
     if pool_beta is None:
         out_specs = pl.BlockSpec((C, 1, th, Wp), lambda l, i: (0, l, i, 0),
@@ -473,6 +490,7 @@ def make_fused_mult_mutual_raw(luts: np.ndarray, x0: float, x1: float,
         return fused_masking_transducer(m4, diff, qs, params.mask_p, xcm,
                                         max_v)
 
+    _sharded_pool_call = None
     if mesh is not None:
         from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
@@ -487,6 +505,68 @@ def make_fused_mult_mutual_raw(luts: np.ndarray, x0: float, x1: float,
         b_call = shard_map(b_call, mesh=mesh, in_specs=(s4, s4),
                            out_specs=s4, check_rep=False)
 
+        n_sp = int(dict(mesh.shape)["space"])
+
+        def _can_shard_bt(H, W):
+            """Halo'd fused blur+transducer+pool per shard (SURVEY §5.7's
+            design point): each shard's row slab plus 8 exchanged halo rows
+            must satisfy the kernel's tile geometry."""
+            if pool_beta is None or params.pu_dilate == 0:
+                return False
+            if not (H > params.pu_padsize and W > params.pu_padsize):
+                return False
+            if H % n_sp != 0:
+                return False
+            H_loc = H // n_sp
+            return H_loc >= 16 and can_blur_transducer(
+                C, H_loc + 16, W, params.pu_kernel_size)
+
+        def _sharded_pool_impl(m4, d4, H, W):
+            """(C, L, H, W) sharded -> (C, L) pooled sums: ppermute 8-row
+            halos between row shards (exclude-edge reflections built
+            locally at the global edges), run the corrections-off fused
+            blur+transducer+pool kernel on each slab, psum the partials
+            over "space". The blur rides ICI as one neighbour exchange
+            instead of a GSPMD halo per conv pass."""
+            from ..blur import gaussian_kernel1d
+
+            H_loc = H // n_sp
+            r = 8
+            taps = gaussian_kernel1d(params.pu_kernel_size,
+                                     params.pu_dilate)
+
+            def per_shard(m_loc, d_loc):
+                fwd = [(k, k + 1) for k in range(n_sp - 1)]
+                bwd = [(k + 1, k) for k in range(n_sp - 1)]
+                from_above = jax.lax.ppermute(m_loc[:, :, -r:], "space",
+                                              fwd)
+                from_below = jax.lax.ppermute(m_loc[:, :, :r], "space",
+                                              bwd)
+                # Global edges: exclude-edge reflection (x[-s] = x[s]),
+                # matching the single-device kernel's corrections.
+                idx = jax.lax.axis_index("space")
+                refl_top = m_loc[:, :, 1:r + 1][:, :, ::-1]
+                refl_bot = m_loc[:, :, -r - 1:-1][:, :, ::-1]
+                from_above = jnp.where(idx == 0, refl_top, from_above)
+                from_below = jnp.where(idx == n_sp - 1, refl_bot,
+                                       from_below)
+                m_halo = jnp.concatenate(
+                    [from_above, m_loc, from_below], axis=2)
+                zr = jnp.zeros_like(d_loc[:, :, :r])
+                d_halo = jnp.concatenate([zr, d_loc, zr], axis=2)
+                out = fused_blur_transducer(
+                    m_halo, d_halo, taps, 10.0 ** params.mask_c, qs,
+                    params.mask_p, xcm, max_v, pool_beta=pool_beta,
+                    row_off=r, h_valid=H_loc,
+                )
+                return jax.lax.psum(out, "space")
+
+            return shard_map(per_shard, mesh=mesh, in_specs=(s4, s4),
+                             out_specs=P(None, bax),
+                             check_rep=False)(m4, d4)
+
+        _sharded_pool_call = (_can_shard_bt, _sharded_pool_impl)
+
     def fwd_impl(gi, E):
         from .. import masking as mk
 
@@ -494,6 +574,10 @@ def make_fused_mult_mutual_raw(luts: np.ndarray, x0: float, x1: float,
         gi4 = jnp.transpose(gi, (1, 0, 2, 3, 4)).reshape(C2, B * F, H, W)
         E4 = jnp.transpose(E, (1, 0, 2, 3, 4)).reshape(C2, B * F, H, W)
         m_pre, diff = a_call(gi4, E4)
+        if _sharded_pool_call is not None and _sharded_pool_call[0](H, W):
+            out = _sharded_pool_call[1](m_pre, diff, H, W)
+            s = out.reshape(C, B, F).transpose(1, 0, 2) / float(H * W)
+            return mk._safe_pow_static(s, 1.0 / float(pool_beta))
         if _use_blur_transducer(params, C, H, W, mesh):
             from ..blur import gaussian_kernel1d
 

@@ -211,6 +211,55 @@ def test_blur_transducer_pooled_matches_lp_norm():
     assert np.abs(want - got).max() < 1e-5
 
 
+def test_halo_slab_blur_pool_matches_full_image():
+    """Halo'd shard mode of the fused blur+transducer+pool (row_off/h_valid,
+    SURVEY §5.7's design point): slicing the image into row slabs, giving
+    each slab 8 rows of real neighbour context (exclude-edge reflections at
+    the global edges) and summing the per-slab pooled partials must equal
+    the single full-image pooled kernel."""
+    from colorvideovdp_tpu.ops import blur as bl
+    from colorvideovdp_tpu.ops.kernels.masking_fused import (
+        fused_blur_transducer,
+    )
+
+    rng = np.random.RandomState(23)
+    C, L, H, W = 4, 2, 64, 256
+    ks, sigma, beta = 13, 3.0, 2.0
+    m_pre = rng.rand(C, L, H, W).astype(np.float32)
+    diff = rng.rand(C, L, H, W).astype(np.float32) * 3.0
+    qs = np.array([0.7, 0.9, 1.1, 0.8], np.float32)
+    p, max_v, scale = 2.3, 300.0, 0.16
+    xcm = rng.rand(4, 4).astype(np.float32)
+    k = bl.gaussian_kernel1d(ks, sigma)
+
+    want = np.asarray(fused_blur_transducer(
+        jnp.asarray(m_pre), jnp.asarray(diff), k, scale, qs, p, xcm,
+        max_v, pool_beta=beta, interpret=True))
+
+    n_sp, r = 4, 8
+    H_loc = H // n_sp
+    total = np.zeros_like(want)
+    for s in range(n_sp):
+        lo, hi = s * H_loc, (s + 1) * H_loc
+        m_loc = m_pre[:, :, lo:hi]
+        if s == 0:
+            above = m_pre[:, :, 1:r + 1][:, :, ::-1]  # x[-s] = x[s]
+        else:
+            above = m_pre[:, :, lo - r:lo]
+        if s == n_sp - 1:
+            below = m_pre[:, :, -r - 1:-1][:, :, ::-1]
+        else:
+            below = m_pre[:, :, hi:hi + r]
+        m_halo = np.concatenate([above, m_loc, below], axis=2)
+        zr = np.zeros((C, L, r, W), np.float32)
+        d_halo = np.concatenate([zr, diff[:, :, lo:hi], zr], axis=2)
+        total += np.asarray(fused_blur_transducer(
+            jnp.asarray(m_halo), jnp.asarray(d_halo), k, scale, qs, p,
+            xcm, max_v, pool_beta=beta, interpret=True, row_off=r,
+            h_valid=H_loc))
+    assert np.abs(total - want).max() / max(want.max(), 1.0) < 1e-5
+
+
 def _band_fused_setup(H, W, L=2, seed=41):
     """Shared fixtures for the band mega-kernel tests: a metric's real
     calibration constants plus a synthetic (2C, L, H, W) Gaussian level and

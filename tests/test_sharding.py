@@ -68,14 +68,29 @@ def test_entry_compiles():
     assert np.all(np.isfinite(Q))
 
 
-def test_sharded_batched_image_kernels_match_single():
+def test_sharded_batched_image_kernels_match_single(monkeypatch):
     """B=2 image pairs on a (2, 4) batch x space mesh with the fused
     Pallas kernels ENABLED: the kernels' folded (C, B*F, H, W) layout
     carries the batch dim sharded over "batch" (each device owns whole
     pairs), so batched multi-chip scoring keeps the fast path instead of
-    the 2x-slower kernel-less trace (VERDICT r2 weak-4)."""
+    the 2x-slower kernel-less trace (VERDICT r2 weak-4). Band 0 here has
+    16 rows/shard — the halo'd per-shard blur+transducer+pool route must
+    fire (row_off=8 kernel calls), or the sharded fast path silently
+    degraded to the XLA blur + kernel-B pair."""
     import jax
     from jax.sharding import Mesh
+
+    from colorvideovdp_tpu.ops.kernels import masking_fused as mf
+
+    halo_calls = []
+    real_fbt = mf.fused_blur_transducer
+
+    def spy(*a, **kw):
+        if kw.get("row_off"):
+            halo_calls.append(kw["row_off"])
+        return real_fbt(*a, **kw)
+
+    monkeypatch.setattr(mf, "fused_blur_transducer", spy)
 
     from colorvideovdp_tpu.io.video_source import video_source_array
     from colorvideovdp_tpu.parallel.sharding import (
@@ -112,6 +127,7 @@ def test_sharded_batched_image_kernels_match_single():
     Q1, _ = m1.predict(test, ref, dim_order="BHWC")
     np.testing.assert_allclose(Q_sharded, np.asarray(Q1).reshape(-1),
                                atol=2e-4)
+    assert halo_calls and all(r == 8 for r in halo_calls)
 
 
 def test_sharded_batched_video_kernels_match_single():
