@@ -339,6 +339,7 @@ def main():
         return m.predict(V_test, V_ref, dim_order="HWCF",
                          frames_per_second=fps)
 
+    oom_retried = False
     t0 = time.time()
     try:
         Q, _ = _predict()
@@ -347,7 +348,9 @@ def main():
             raise
         logging.warning(
             f"predict OOMed ({str(e)[:120]}); retrying with gpu_mem=11")
+        oom_retried = True
         m = cv.cvvdp(display_name="standard_hdr_pq", quiet=True, gpu_mem=11)
+        t0 = time.time()  # cold_s should time the succeeding config only
         Q, _ = _predict()
     cold = time.time() - t0
 
@@ -435,6 +438,7 @@ def main():
                      "transfer stage binds instead"),
         "jod": round(float(np.asarray(Q).reshape(-1)[0]), 4),
         "cold_s": round(cold, 1),
+        "oom_retried": oom_retried,
         "compile_s": round(cold - warm, 1),
         # Container honesty: a cold predict uploads the whole clip through
         # the axon tunnel; at the measured warm tunnel rate that transfer

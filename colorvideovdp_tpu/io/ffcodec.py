@@ -154,6 +154,7 @@ class CodecVideoReader:
 
         self._next = 0  # index the next vdec_next call returns
         self._last = None  # most recent decoded frame (tail repeat)
+        self._eof = False  # end-of-stream or latched decode error
         self._scratch = np.empty(self.frame_pixels, self.dtype)
         if meta_frames <= 0 or frames == -2:
             meta_frames = self._count_frames()
@@ -172,6 +173,7 @@ class CodecVideoReader:
         if self._lib.vdec_rewind(self._h) != 0:
             raise RuntimeError(f"rewind failed: {_last_error()}")
         self._next = 0
+        self._eof = False  # the stream is seekable; early frames decode
 
     def _decode_into(self, arr: np.ndarray) -> bool:
         """Decode the next frame DIRECTLY into ``arr`` (a contiguous
@@ -179,10 +181,13 @@ class CodecVideoReader:
         into the caller's block, no intermediate staging buffer.
 
         Mid-stream decode/demux errors (truncated or damaged files) degrade
-        to end-of-stream with a warning: callers then repeat the last good
-        frame, exactly how the reference behaves when its ffmpeg pipe dies
-        mid-clip (the pipe read returns short -> get_frame None -> repeat).
+        to end-of-stream with ONE warning: the error latches as EOF (no
+        further native calls until a rewind) and callers repeat the last
+        good frame, exactly how the reference behaves when its ffmpeg pipe
+        dies mid-clip (short pipe read -> get_frame None -> repeat).
         """
+        if self._eof:
+            return False
         r = self._lib.vdec_next(
             self._h, arr.ctypes.data_as(ctypes.c_void_p))
         if r < 0:
@@ -191,8 +196,10 @@ class CodecVideoReader:
                 f"{self._next} ({_last_error()}); treating as end of "
                 "stream — remaining frames repeat the last good one"
             )
+            self._eof = True
             return False
         if r == 0:
+            self._eof = True
             return False
         self._next += 1
         return True

@@ -200,8 +200,9 @@ def _blur_b_kernel(m_hbm, diff_ref, d_ref, scratch, sem, *, taps, scale,
     gr = i * th + rows
     if row_off or h_valid is not None:
         # Halo'd shard slab: pool only the shard-owned row window (the
-        # first/last row_off rows are exchanged neighbour context).
-        hv = h_valid if h_valid is not None else H - row_off
+        # first/last row_off rows are exchanged neighbour context, owned
+        # and pooled by the neighbouring shards).
+        hv = h_valid if h_valid is not None else H - 2 * row_off
         valid = (gr >= row_off) & (gr < row_off + hv)
     else:
         valid = gr < H  # mask the padded rows of the last tile
@@ -574,10 +575,16 @@ def make_fused_mult_mutual_raw(luts: np.ndarray, x0: float, x1: float,
         gi4 = jnp.transpose(gi, (1, 0, 2, 3, 4)).reshape(C2, B * F, H, W)
         E4 = jnp.transpose(E, (1, 0, 2, 3, 4)).reshape(C2, B * F, H, W)
         m_pre, diff = a_call(gi4, E4)
-        if _sharded_pool_call is not None and _sharded_pool_call[0](H, W):
-            out = _sharded_pool_call[1](m_pre, diff, H, W)
-            s = out.reshape(C, B, F).transpose(1, 0, 2) / float(H * W)
+
+        def _pool_tail(sums):
+            # lp_norm tail: safe_pow(sum / N, 1/beta), matching
+            # ops.masking.lp_norm exactly (shared by both fused-pool
+            # routes so normalization edits cannot diverge).
+            s = sums.reshape(C, B, F).transpose(1, 0, 2) / float(H * W)
             return mk._safe_pow_static(s, 1.0 / float(pool_beta))
+
+        if _sharded_pool_call is not None and _sharded_pool_call[0](H, W):
+            return _pool_tail(_sharded_pool_call[1](m_pre, diff, H, W))
         if _use_blur_transducer(params, C, H, W, mesh):
             from ..blur import gaussian_kernel1d
 
@@ -588,10 +595,7 @@ def make_fused_mult_mutual_raw(luts: np.ndarray, x0: float, x1: float,
                                         params.mask_p, xcm, max_v,
                                         pool_beta=pool_beta)
             if pool_beta is not None:
-                # lp_norm tail: safe_pow(sum / N, 1/beta), matching
-                # ops.masking.lp_norm exactly.
-                s = out.reshape(C, B, F).transpose(1, 0, 2) / float(H * W)
-                return mk._safe_pow_static(s, 1.0 / float(pool_beta))
+                return _pool_tail(out)
             D = out
         else:
             m5 = m_pre.reshape(C, B, F, H, W).transpose(1, 0, 2, 3, 4)

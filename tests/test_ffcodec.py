@@ -406,31 +406,42 @@ def test_native_hdr_mp4_writer(tmp_path):
 
 def test_truncated_and_garbage_files(tmp_path):
     """Failure taxonomy: a garbage 'mp4' fails at open (the facade then
-    falls back to OpenCV, which raises its own vq_exception); a truncated
-    stream decodes what it can and repeats the last good frame for the
-    rest of the metadata-claimed count — no hang, no crash."""
+    falls back to OpenCV, which raises its own vq_exception); a MID-STREAM
+    truncation (streamable mkv — mp4 keeps its moov index at the tail, so
+    a cut mp4 simply fails to open) decodes what it can, warns ONCE, and
+    repeats the last good frame for the rest of the metadata-claimed
+    count — no hang, no crash, no per-frame warning storm."""
     rng = np.random.RandomState(6)
     frames = [_rand_planar(rng, 64, 48, 8) for _ in range(6)]
-    p = tmp_path / "full.mp4"
-    _encode(p, frames, fps=30, bit_depth=8, codec="libx264", crf=-1.0)
 
     garbage = tmp_path / "garbage.mp4"
     garbage.write_bytes(b"not a video" * 100)
     with pytest.raises(RuntimeError):
         ffcodec.CodecVideoReader(str(garbage))
 
+    p = tmp_path / "full.mkv"
+    _encode(p, frames, fps=30, bit_depth=8, codec="ffv1", crf=-1.0)
     data = p.read_bytes()
-    # mp4 written by avformat places moov after mdat here; keep the header
-    # plus most of the data so open succeeds but late packets are gone.
-    trunc = tmp_path / "trunc.mp4"
-    trunc.write_bytes(data[: len(data) * 2 // 3])
-    try:
-        rd = ffcodec.CodecVideoReader(str(trunc))
-    except RuntimeError:
-        return  # moov landed in the cut tail: open-failure is acceptable
-    got = rd.get_packed_frames(0, rd.frames)
-    assert got.shape[0] == rd.frames  # shape contract holds regardless
+    trunc = tmp_path / "trunc.mkv"
+    trunc.write_bytes(data[: len(data) // 2])
+    rd = ffcodec.CodecVideoReader(str(trunc), frames=6)
+    # Frame counting already hit the cut and clamped the count (and the
+    # rewind cleared the error latch — early frames decode again).
+    assert 0 < rd.frames < 6
+    # Simulate optimistic container metadata claiming all 6 frames: the
+    # mid-stream error must latch as EOF after ONE warning and the tail
+    # must repeat the last good frame — no hang, no per-frame retry storm.
+    rd.frames = 6
+    got = rd.get_packed_frames(0, 6)
+    assert got.shape == (6, rd.frame_pixels)
+    assert rd._eof  # latched; no further native calls until rewind
+    ref0 = np.concatenate([a.ravel() for a in frames[0]])
+    assert np.array_equal(got[0], ref0)
+    assert np.array_equal(got[5], got[rd._next - 1])
     rd.unload()
+
+
+def test_dm_preview_hdr_video_real_mp4(tmp_path):
     """dm-preview on HDR video now yields real 10-bit HEVC mp4 with PQ tags
     (reference behaviour: dm_preview_metric.py via video_writer.py:32-43)
     instead of the y4m stand-in."""
