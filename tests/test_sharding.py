@@ -54,6 +54,45 @@ def test_sharded_matches_single():
     )
 
 
+def test_sharded_heatmap_matches_single():
+    """Sharded scoring WITH a heatmap (kernel-less GSPMD trace): both the
+    JODs and the raw per-pixel heatmap must match single-device output."""
+    import jax
+
+    from colorvideovdp_tpu.io.video_source import video_source_array
+    from colorvideovdp_tpu.parallel.sharding import (
+        image_pair_sharding,
+        make_mesh,
+        shard_scoring_fn,
+    )
+
+    n = min(8, len(jax.devices()))
+    mesh = make_mesh(n, batch=1)
+
+    H, W = 8 * n, 96
+    rng = np.random.RandomState(4)
+    test = rng.randint(0, 255, (H, W, 3), dtype=np.uint8)
+    ref = rng.randint(0, 255, (H, W, 3), dtype=np.uint8)
+
+    m = cv.cvvdp(display_name="standard_4k", quiet=True, heatmap="raw")
+    m._ensure_pyramids(W, H)
+    vs = video_source_array(test, ref, 0, dim_order="HWC",
+                            display_photometry=m.display_photometry)
+    raw_t = vs.get_raw_block("test", 0, 1)
+    raw_r = vs.get_raw_block("reference", 0, 1)
+    fn = shard_scoring_fn(m, vs, "DKLd65", raw_t.shape, raw_t.dtype, mesh)
+    sh = image_pair_sharding(mesh)
+    Q_sh, hm_sh = fn(jax.device_put(raw_t, sh), jax.device_put(raw_r, sh))
+    Q_sharded = float(np.asarray(m.do_pooling_and_jods(Q_sh)))
+
+    m1 = cv.cvvdp(display_name="standard_4k", quiet=True, heatmap="raw")
+    Q1, stats = m1.predict(test, ref, dim_order="HWC")
+    assert abs(Q_sharded - float(Q1)) < 2e-4
+    hm1 = np.asarray(stats["heatmap"], np.float32)
+    hm_s = np.asarray(hm_sh, np.float32).reshape(hm1.shape)
+    np.testing.assert_allclose(hm_s, hm1, atol=2e-3)
+
+
 def test_entry_compiles():
     import sys
 
