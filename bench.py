@@ -296,9 +296,34 @@ def _shard_smoke():
         raise SystemExit(1)
 
 
+def _device_reachable(timeout_s=180):
+    """Fail fast when the device link is down: PJRT init hangs indefinitely
+    inside a C call (no Python-level timeout possible), so probe with a
+    tiny matmul in a killable subprocess first."""
+    import subprocess
+
+    code = ("import jax, numpy as np; x = jax.numpy.ones((64, 64)); "
+            "print(float(np.asarray((x @ x).sum())))")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, timeout=timeout_s)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     quick = "--quick" in sys.argv
     grid = "--grid" in sys.argv
+    if not _device_reachable():
+        print(json.dumps({
+            "metric": "device unreachable",
+            "value": 0, "unit": "fps", "vs_baseline": 0,
+            "error": "device link down: the tiny-matmul probe subprocess "
+                     "hung/failed within 180s; bench aborted instead of "
+                     "hanging in PJRT init",
+        }))
+        raise SystemExit(1)
     if "--shard-smoke" in sys.argv:
         _shard_smoke()
         return
