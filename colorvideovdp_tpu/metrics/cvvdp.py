@@ -21,6 +21,7 @@ from __future__ import annotations
 import json
 import logging
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -33,6 +34,14 @@ from ..ops.pyramid import LaplacianPyramid, LogContrastPyramid, WeberContrastPyr
 from ..ops.temporal import get_temporal_filters
 from ..utils.config import config_files, json2dict
 from .base import register_metric, vq_exception, vq_metric
+
+
+def _tail_donate_argnums():
+    """Perf-bisection toggle: CVVDP_DONATE_TAILS=1 donates the temporal
+    tails into the video step (the pre-round-3 behaviour). Default is NO
+    donation — aliasing the tail outputs onto the inputs makes XLA insert
+    full-tensor hazard copies (docs/step_profile.md finding 2)."""
+    return (0, 1) if os.environ.get("CVVDP_DONATE_TAILS") == "1" else ()
 
 
 class cvvdp(vq_metric):
@@ -898,7 +907,8 @@ class cvvdp(vq_metric):
                 # 796 MB inputs every step (profiled: copy.280/281,
                 # 10 ms/step at 4K — docs/step_profile.md). The extra
                 # 1.6 GB liveness is cheaper than the copies.
-                jfn = jax.jit(fn)
+                # CVVDP_DONATE_TAILS=1 restores donation (bisection toggle).
+                jfn = jax.jit(fn, donate_argnums=_tail_donate_argnums())
 
             self._block_fns[key] = jfn
             return jfn
@@ -956,7 +966,7 @@ class cvvdp(vq_metric):
             # Tails not donated: aliasing the tail outputs onto the inputs
             # makes XLA insert full-tensor hazard copies (see the ingest
             # branch above / docs/step_profile.md).
-            jfn = jax.jit(fn)
+            jfn = jax.jit(fn, donate_argnums=_tail_donate_argnums())
 
         self._block_fns[key] = jfn
         return jfn
@@ -1101,7 +1111,7 @@ class cvvdp(vq_metric):
 
         # Tails not donated — same hazard-copy reasoning as
         # _get_video_step (docs/step_profile.md).
-        jfn = jax.jit(fn)
+        jfn = jax.jit(fn, donate_argnums=_tail_donate_argnums())
         self._block_fns[key] = jfn
         return jfn
 
@@ -1176,9 +1186,11 @@ class cvvdp(vq_metric):
         # per-band matrices on the MXU, pooling in VMEM. Pooled scoring
         # path only (heatmap/dump need the per-band D tensors).
         stack_Q = {}
-        if raw_pairs and mesh is None and not self.do_heatmap:
+        if (raw_pairs and mesh is None and not self.do_heatmap
+                and os.environ.get("CVVDP_NO_BAND_STACK") != "1"):
             force_f = getattr(self, "force_fused", False)
-            min_w_gate = 128 if force_f else 360
+            min_w_gate = (128 if force_f
+                          else int(os.environ.get("CVVDP_MIN_W", "360")))
             cand = []
             for bb in range(1, n_bands - 1):
                 if not isinstance(B_bands[bb], tuple):
@@ -1279,7 +1291,8 @@ class cvvdp(vq_metric):
                 # test path) keeps the low threshold so kernel semantics
                 # stay covered.
                 force_f = getattr(self, "force_fused", False)
-                min_w = 128 if force_f else 360
+                min_w = (128 if force_f
+                         else int(os.environ.get("CVVDP_MIN_W", "360")))
                 # Without a heatmap/dump consumer the spatial pooling
                 # fuses into the kernel too: the band's D tensor never
                 # reaches HBM.

@@ -23,6 +23,7 @@ Parity notes (all verified against the reference):
 from __future__ import annotations
 
 import math
+import os
 
 import jax.numpy as jnp
 import numpy as np
@@ -198,22 +199,38 @@ def _expand_1d(x, axis: int, exp_size: int):
           + (2.0 * float(K5[4])) * sl(xp, 2, 2 + n_even))
     od = ((2.0 * float(K5[1])) * sl(xp, 1, 1 + n_odd)
           + (2.0 * float(K5[3])) * sl(xp, 2, 2 + n_odd))
-    # Phase interleave via INTERIOR padding: [e0,0,e1,0,..] + [0,o0,0,..].
-    # The stack(axis+1)+reshape form lowers on TPU to a kLoop fusion
-    # writing an exotic layout (trailing interleave dim minor) followed by
-    # TWO full-tensor relayout copies (profiled at ~10 ms/step for band 0
-    # at 4K — docs/step_profile.md); interior-pad + add keeps the natural
-    # layout end to end. The inserted zeros make the sum bit-exact.
-    zero = jnp.zeros((), x.dtype)
-    cfg_e = [(0, 0, 0)] * x.ndim
-    cfg_o = [(0, 0, 0)] * x.ndim
-    if n_even > n_odd:  # odd output length: ev at 0..2k.., od at 1..2k+1
-        cfg_e[ax] = (0, 0, 1)
-        cfg_o[ax] = (1, 1, 1)
-    else:
-        cfg_e[ax] = (0, 1, 1)
-        cfg_o[ax] = (1, 0, 1)
-    return lax.pad(ev, zero, cfg_e) + lax.pad(od, zero, cfg_o)
+    # Phase interleave: stack(axis+1)+reshape. On TPU this lowers to a
+    # kLoop fusion writing an exotic layout (trailing interleave dim
+    # minor) plus relayout copies (~10 ms/step for band 0 at 4K,
+    # docs/step_profile.md) — but the round-3 "fix" (lax.pad with INTERIOR
+    # padding + add) measured 2x SLOWER in context on hardware
+    # (240.8 vs 121.6 ms/step at 4K, tools/step_bench.py, round 4):
+    # interior-pad lowers to even worse code than the relayout copies it
+    # removed. Keep the measured-faster form; the interior-pad variant
+    # stays behind CVVDP_INTERIOR_PAD_INTERLEAVE=1 for re-testing on
+    # future compiler versions. Both forms are bit-exact equal.
+    if os.environ.get("CVVDP_INTERIOR_PAD_INTERLEAVE") == "1":
+        zero = jnp.zeros((), x.dtype)
+        cfg_e = [(0, 0, 0)] * x.ndim
+        cfg_o = [(0, 0, 0)] * x.ndim
+        if n_even > n_odd:  # odd output: ev at 0..2k.., od at 1..2k+1
+            cfg_e[ax] = (0, 0, 1)
+            cfg_o[ax] = (1, 1, 1)
+        else:
+            cfg_e[ax] = (0, 1, 1)
+            cfg_o[ax] = (1, 0, 1)
+        return lax.pad(ev, zero, cfg_e) + lax.pad(od, zero, cfg_o)
+    st = jnp.stack(
+        [lax.slice_in_dim(ev, 0, n_odd, axis=ax)
+         if n_even > n_odd else ev, od], axis=ax + 1)
+    sh = list(x.shape)
+    sh[ax] = 2 * n_odd
+    out = st.reshape(sh)
+    if n_even > n_odd:
+        out = jnp.concatenate(
+            [out, lax.slice_in_dim(ev, n_even - 1, n_even, axis=ax)],
+            axis=ax)
+    return out
 
 
 def gausspyr_expand(x, sz=None):
