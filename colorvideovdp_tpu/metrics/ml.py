@@ -170,46 +170,116 @@ def _load_npz_weights(config_paths, net_names):
     return out
 
 
-def _mlp_from_flat(flat):
-    """Flat torch-style keys ('0.weight', '3.weight', ...) -> layer list."""
-    idx = sorted({int(k.split(".")[0]) for k in flat}, key=int)
-    return [
-        {"weight": flat[f"{i}.weight"], "bias": flat[f"{i}.bias"]}
-        for i in idx
-    ]
+def _missing(net, key, flat):
+    return vq_exception(
+        f"cvvdp_ml checkpoint: net '{net}' is missing key '{key}'. The "
+        "converted cvvdp_ml.npz does not match the reference architecture "
+        "(reference builds these nets in cvvdp_ml_metric.py:399-644 and "
+        "loads them by prefix in cvvdp_ml_metric.py:156-172). Keys present "
+        f"under this net: {sorted(flat)[:10]}{'...' if len(flat) > 10 else ''}"
+    )
 
 
-def _transformer_from_flat(flat, depth=4):
+def _check_consumed(net, flat, used):
+    extra = sorted(set(flat) - used)
+    if extra:
+        raise vq_exception(
+            f"cvvdp_ml checkpoint: net '{net}' has {len(extra)} unexpected "
+            f"key(s) the loader would silently drop: {extra[:10]}"
+            f"{'...' if len(extra) > 10 else ''}. This usually means the "
+            "checkpoint was trained with a different architecture than the "
+            "published one (cvvdp_ml_metric.py:399-644)."
+        )
+
+
+def _check_same_shapes(net, loaded, init):
+    """The randomly-initialised params encode the expected architecture;
+    a converted checkpoint must match it leaf-for-leaf."""
+    def leaves(tree):
+        flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+        return {jax.tree_util.keystr(k): tuple(v.shape) for k, v in flat}
+
+    got, want = leaves(loaded), leaves(init)
+    bad = [f"{k}: ckpt {got.get(k)} vs expected {want.get(k)}"
+           for k in sorted(set(got) | set(want)) if got.get(k) != want.get(k)]
+    if bad:
+        raise vq_exception(
+            f"cvvdp_ml checkpoint: net '{net}' parameter shapes do not match "
+            f"the published architecture: {bad[:8]}"
+            f"{'...' if len(bad) > 8 else ''}"
+        )
+
+
+def _mlp_from_flat(flat, net="mlp"):
+    """Flat torch-style keys ('0.weight', '3.weight', ...) -> layer list.
+
+    Strict: every Linear index must carry exactly weight+bias, and no key
+    under the net prefix may go unconsumed (silent-drop protection for the
+    real published checkpoints, which cannot be verified here)."""
+    used = set()
+    idx = set()
+    for k in flat:
+        head = k.split(".")[0]
+        if not head.isdigit() or k.split(".")[1] not in ("weight", "bias"):
+            raise vq_exception(
+                f"cvvdp_ml checkpoint: net '{net}' has non-MLP key '{k}' "
+                "(expected '<layer_idx>.weight'/'<layer_idx>.bias' from a "
+                "torchvision.ops.MLP state_dict, cvvdp_ml_metric.py:412,476)"
+            )
+        idx.add(int(head))
+    out = []
+    for i in sorted(idx):
+        for part in ("weight", "bias"):
+            if f"{i}.{part}" not in flat:
+                raise _missing(net, f"{i}.{part}", flat)
+            used.add(f"{i}.{part}")
+        out.append({"weight": flat[f"{i}.weight"], "bias": flat[f"{i}.bias"]})
+    if not out:
+        raise _missing(net, "0.weight", flat)
+    _check_consumed(net, flat, used)
+    return out
+
+
+def _transformer_from_flat(flat, depth=4, net="transformer_net"):
+    used = set()
+
+    def take(key):
+        if key not in flat:
+            raise _missing(net, key, flat)
+        used.add(key)
+        return flat[key]
+
     p = {
-        "patch_embed": {"weight": flat["patch_embed.1.weight"],
-                        "bias": flat["patch_embed.1.bias"]},
-        "cls_token": flat["cls_token"],
-        "reg_norm": {"weight": flat["reg_head.0.weight"],
-                     "bias": flat["reg_head.0.bias"]},
-        "reg_linear": {"weight": flat["reg_head.1.weight"],
-                       "bias": flat["reg_head.1.bias"]},
+        "patch_embed": {"weight": take("patch_embed.1.weight"),
+                        "bias": take("patch_embed.1.bias")},
+        "cls_token": take("cls_token"),
+        "reg_norm": {"weight": take("reg_head.0.weight"),
+                     "bias": take("reg_head.0.bias")},
+        "reg_linear": {"weight": take("reg_head.1.weight"),
+                       "bias": take("reg_head.1.bias")},
         "layers": [],
     }
     for i in range(depth):
         pre = f"transformer.layers.{i}."
         p["layers"].append({
             "self_attn": {
-                "in_proj_weight": flat[pre + "self_attn.in_proj_weight"],
-                "in_proj_bias": flat[pre + "self_attn.in_proj_bias"],
+                "in_proj_weight": take(pre + "self_attn.in_proj_weight"),
+                "in_proj_bias": take(pre + "self_attn.in_proj_bias"),
                 "out_proj": {
-                    "weight": flat[pre + "self_attn.out_proj.weight"],
-                    "bias": flat[pre + "self_attn.out_proj.bias"],
+                    "weight": take(pre + "self_attn.out_proj.weight"),
+                    "bias": take(pre + "self_attn.out_proj.bias"),
                 },
             },
-            "linear1": {"weight": flat[pre + "linear1.weight"],
-                        "bias": flat[pre + "linear1.bias"]},
-            "linear2": {"weight": flat[pre + "linear2.weight"],
-                        "bias": flat[pre + "linear2.bias"]},
-            "norm1": {"weight": flat[pre + "norm1.weight"],
-                      "bias": flat[pre + "norm1.bias"]},
-            "norm2": {"weight": flat[pre + "norm2.weight"],
-                      "bias": flat[pre + "norm2.bias"]},
+            "linear1": {"weight": take(pre + "linear1.weight"),
+                        "bias": take(pre + "linear1.bias")},
+            "linear2": {"weight": take(pre + "linear2.weight"),
+                        "bias": take(pre + "linear2.bias")},
+            "norm1": {"weight": take(pre + "norm1.weight"),
+                      "bias": take(pre + "norm1.bias")},
+            "norm2": {"weight": take(pre + "norm2.weight"),
+                      "bias": take(pre + "norm2.bias")},
         })
+    _check_consumed(net, flat, used)
     return p
 
 
@@ -405,7 +475,9 @@ class cvvdp_ml(cvvdp_ml_base):
         return ["feature_net"]
 
     def _assign_weights(self, weights):
-        self.feature_net = _mlp_from_flat(weights["feature_net"])
+        loaded = _mlp_from_flat(weights["feature_net"], net="feature_net")
+        _check_same_shapes("feature_net", loaded, self.feature_net)
+        self.feature_net = loaded
 
     def do_pooling_and_jods(self, features):
         no_bands = len(features)
@@ -450,8 +522,12 @@ class cvvdp_ml_saliency(cvvdp_ml):
         return ["feature_net", "att_net"]
 
     def _assign_weights(self, weights):
-        self.feature_net = _mlp_from_flat(weights["feature_net"])
-        self.att_net = _mlp_from_flat(weights["att_net"])
+        loaded_f = _mlp_from_flat(weights["feature_net"], net="feature_net")
+        loaded_a = _mlp_from_flat(weights["att_net"], net="att_net")
+        _check_same_shapes("feature_net", loaded_f, self.feature_net)
+        _check_same_shapes("att_net", loaded_a, self.att_net)
+        self.feature_net = loaded_f
+        self.att_net = loaded_a
 
     def _extra_config_paths(self):
         base = os.path.join(os.path.dirname(os.path.dirname(__file__)),
@@ -509,9 +585,9 @@ class cvvdp_ml_transformer(cvvdp_ml):
         return ["transformer_net"]
 
     def _assign_weights(self, weights):
-        self.transformer_net = _transformer_from_flat(
-            weights["transformer_net"]
-        )
+        loaded = _transformer_from_flat(weights["transformer_net"])
+        _check_same_shapes("transformer_net", loaded, self.transformer_net)
+        self.transformer_net = loaded
 
     def _extra_config_paths(self):
         base = os.path.join(os.path.dirname(os.path.dirname(__file__)),

@@ -255,3 +255,131 @@ def test_ml_transformer_video_end_to_end_matches_oracle(reference, ml_pair,
                                 config_paths=[str(tmp_path)])
     Q, _ = m.predict(V_test, V_ref, dim_order="HWCF", frames_per_second=fps)
     assert abs(float(Q) - float(Q_ref)) < 5e-3, (float(Q), float(Q_ref))
+
+
+# ---------------------------------------------------------------------------
+# Real-weights-path hardening (VERDICT r3 item 6): the PUBLISHED HF-hub
+# checkpoints cannot be downloaded here (no egress), so the converter/loader
+# must (a) digest a Lightning state_dict with the exact schema the reference
+# constructs — ALL nets' keys flat in one dict, sliced by '<net>.' prefix
+# (cvvdp_ml_metric.py:156-172) plus unrelated trunk keys — and (b) fail
+# LOUDLY, never silently, on any key-layout or shape mismatch.
+
+
+def _full_schema_ckpt(tmp_path, reference):
+    import torch
+    from torchvision.ops import MLP
+
+    import pycvvdp.cvvdp_ml_metric as refml
+
+    torch.manual_seed(3)
+    nets = {
+        "feature_net": MLP(in_channels=8, hidden_channels=[24] * 3 + [1],
+                           activation_layer=torch.nn.ReLU, dropout=0.2),
+        "att_net": MLP(in_channels=16, hidden_channels=[48] * 4 + [1],
+                       activation_layer=torch.nn.ReLU, dropout=0.2),
+        "transformer_net": refml.RegressionTransformer(in_channels=24,
+                                                       dim=256),
+    }
+    sd = {}
+    for name, net in nets.items():
+        for k, v in net.state_dict().items():
+            sd[f"{name}.{k}"] = v
+    # Lightning modules carry the rest of the training module's state too:
+    # unrelated keys the loader must ignore (sliced out by prefix).
+    sd["loss_fn.weight"] = torch.ones(3)
+    sd["feature_extractor.lpyr.kernel"] = torch.ones(5)
+    return sd, nets
+
+
+def test_ml_full_lightning_schema_loads_every_net(reference, tmp_path):
+    """One ckpt holding all three nets + trunk extras -> every metric class
+    loads its slice; key coverage and shapes are validated strictly."""
+    import torch
+
+    from convert_ml_ckpt import convert
+
+    sd, _ = _full_schema_ckpt(tmp_path, reference)
+    ckpt = str(tmp_path / "cvvdp.ckpt")
+    torch.save({"state_dict": sd}, ckpt)
+    convert(ckpt, str(tmp_path / "cvvdp_ml.npz"))
+
+    for cls, nets in ((ml.cvvdp_ml, ["feature_net"]),
+                      (ml.cvvdp_ml_saliency, ["feature_net", "att_net"]),
+                      (ml.cvvdp_ml_transformer, ["transformer_net"])):
+        m = cls(display_name="standard_4k", quiet=True,
+                config_paths=[str(tmp_path)])
+        for net in nets:
+            assert getattr(m, net) is not None
+    # exact expected tensor count landed in the npz (nets + 2 extras)
+    data = np.load(str(tmp_path / "cvvdp_ml.npz"))
+    n_linear = (4 + 5) * 2          # feature(4 Linear) + att(5 Linear)
+    n_tr = 2 + 1 + 4 * 12 + 4       # patch_embed + cls + 4 layers + reg_head
+    assert len(data.files) == n_linear + n_tr + 2, sorted(data.files)
+
+
+def test_ml_loader_fails_loud_on_layout_mismatch(reference, tmp_path):
+    """Missing keys, unexpected keys, and wrong shapes must each raise a
+    vq_exception naming the problem — not load garbage silently."""
+    import torch
+    from torchvision.ops import MLP
+
+    from colorvideovdp_tpu.metrics.base import vq_exception
+    from convert_ml_ckpt import convert
+
+    sd, _ = _full_schema_ckpt(tmp_path, reference)
+
+    def mint(mutate, name):
+        d = dict(sd)
+        mutate(d)
+        sub = tmp_path / name
+        sub.mkdir()
+        ckpt = str(sub / "cvvdp.ckpt")
+        torch.save({"state_dict": d}, ckpt)
+        convert(ckpt, str(sub / "cvvdp_ml.npz"))
+        return str(sub)
+
+    # (1) a transformer layer key missing (e.g. depth-3 training run)
+    p = mint(lambda d: d.pop("transformer_net.transformer.layers.3.norm1.weight"),
+             "missing")
+    with pytest.raises(vq_exception, match="layers.3.norm1.weight"):
+        ml.cvvdp_ml_transformer(display_name="standard_4k", quiet=True,
+                                config_paths=[p])
+
+    # (2a) an extra Linear layer under a net prefix (architecture drift):
+    # parsed as a deeper MLP, then rejected by the shape validation
+    p = mint(lambda d: d.update(
+        {"att_net.15.weight": torch.ones(1, 48),
+         "att_net.15.bias": torch.ones(1)}), "extralayer")
+    with pytest.raises(vq_exception, match="shapes do not match"):
+        ml.cvvdp_ml_saliency(display_name="standard_4k", quiet=True,
+                             config_paths=[p])
+
+    # (2b) a non-MLP-shaped key under a net prefix (e.g. a BatchNorm buffer)
+    p = mint(lambda d: d.update(
+        {"feature_net.bn.running_mean": torch.ones(24)}), "nonmlp")
+    with pytest.raises(vq_exception, match="non-MLP key"):
+        ml.cvvdp_ml(display_name="standard_4k", quiet=True,
+                    config_paths=[p])
+
+    # (3) right keys, wrong width (hidden 32 instead of 24)
+    torch.manual_seed(4)
+    wrong = MLP(in_channels=8, hidden_channels=[32] * 3 + [1],
+                activation_layer=torch.nn.ReLU, dropout=0.2)
+    def swap(d):
+        for k in [k for k in d if k.startswith("feature_net.")]:
+            del d[k]
+        for k, v in wrong.state_dict().items():
+            d[f"feature_net.{k}"] = v
+    p = mint(swap, "badshape")
+    with pytest.raises(vq_exception, match="shapes do not match"):
+        ml.cvvdp_ml(display_name="standard_4k", quiet=True,
+                    config_paths=[p])
+
+    # (4) the net entirely absent from the ckpt
+    p = mint(lambda d: [d.pop(k) for k in
+                        [k for k in d if k.startswith("att_net.")]],
+             "absent")
+    with pytest.raises(vq_exception, match="att_net"):
+        ml.cvvdp_ml_saliency(display_name="standard_4k", quiet=True,
+                             config_paths=[p])
