@@ -66,6 +66,16 @@ AVPixelFormat canonical_fmt(int bit_depth, int chroma) {
                 case 422: return AV_PIX_FMT_YUV422P12LE;
                 default:  return AV_PIX_FMT_YUV420P12LE;
             }
+        case 14:
+            // Encode-side only (FFV1 test fixtures): a p14 stream is NOT a
+            // canonical decode layout — classify_fmt maps depth 13-16 to 16
+            // with needs_convert, so decoding one exercises the swscale
+            // 14->16 conversion path.
+            switch (chroma) {
+                case 444: return AV_PIX_FMT_YUV444P14LE;
+                case 422: return AV_PIX_FMT_YUV422P14LE;
+                default:  return AV_PIX_FMT_YUV420P14LE;
+            }
         default:
             switch (chroma) {
                 case 444: return AV_PIX_FMT_YUV444P16LE;
