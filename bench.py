@@ -100,6 +100,75 @@ def _traffic_model(m, H, W, blk, fl):
     return B
 
 
+def _e2e_measured(m, H, W, fps, n_frames=12):
+    """Measured production end-to-end at the bench resolution: a REAL x264
+    mp4 pair decoded by the native codec (threaded prefetch inside
+    predict_video_source) feeding the device step, wall-clocked
+    (VERDICT r3 item 4). Also returns the host-only native decode rate at
+    this resolution. In this container the tunnel upload stage binds the
+    wall number; on a production host (PCIe) e2e ~= min(decode, device).
+
+    Returns (e2e_fps, decode_fps, jod) or (None, None, None)."""
+    import tempfile
+
+    from colorvideovdp_tpu.io import ffcodec
+
+    if not ffcodec.enabled():
+        return None, None, None
+    from scipy.ndimage import gaussian_filter
+
+    from colorvideovdp_tpu.io.video_source_file import video_source_file
+
+    rng = np.random.RandomState(3)
+    y0 = np.clip(gaussian_filter(rng.randn(H, W), 3) * 80 + 120,
+                 0, 255).astype(np.uint8)
+    u0 = np.full((H // 2, W // 2), 128, np.uint8)
+    files = []
+    try:
+        for tag, noise in (("ref", 0.0), ("test", 6.0)):
+            f = tempfile.mktemp(suffix=f"_{tag}.mp4")
+            wenc = ffcodec.CodecVideoWriter(f, W, H, fps, bit_depth=8,
+                                            codec="libx264", crf=20.0)
+            for i in range(n_frames):
+                yy = np.roll(y0, 4 * i, axis=1)
+                if noise:
+                    yy = np.clip(
+                        yy.astype(np.int16)
+                        + (rng.randn(H, W) * noise).astype(np.int16),
+                        0, 255).astype(np.uint8)
+                wenc.write_frame_yuv(yy, u0, u0)
+            wenc.close()
+            files.append(f)
+
+        rd = ffcodec.CodecVideoReader(files[0])
+        t0 = time.time()
+        rd.get_packed_frames(0, n_frames)
+        decode_fps = n_frames / (time.time() - t0)
+        rd.unload()
+
+        def run():
+            vs = video_source_file(
+                files[1], files[0],
+                display_photometry="standard_hdr_pq")
+            t0 = time.time()
+            Q, _ = m.predict_video_source(vs)
+            Q = float(np.asarray(Q).reshape(-1)[0])
+            return n_frames / (time.time() - t0), Q
+
+        run()                      # compile the codec-ingest programs
+        e2e_fps, jod = run()       # warm wall-clock
+        return e2e_fps, decode_fps, jod
+    except Exception as e:  # bench must never die on the probe
+        logging.warning(f"measured-e2e probe skipped: {e}")
+        return None, None, None
+    finally:
+        for f in files:
+            try:
+                os.remove(f)
+            except OSError:
+                pass
+
+
 def _device_fps(m, V_test, V_ref, H, W, N, fps, reps=4):
     """Metric-pass throughput with chip-resident inputs (steady-state video
     block step, min-of-N, scalar readback to force execution)."""
@@ -281,6 +350,51 @@ def _shard_smoke():
     flat_r = m2._put_flat(np.ascontiguousarray(raw_r))
     t_fused = _time(fn_1, flat_t, flat_r)
 
+    # Halo'd row_off kernel variant COMPILED on the chip (VERDICT r3 item
+    # 7): the real multi-chip space-sharded route runs the pooled
+    # blur+transducer kernel per slab with ppermute'd halo rows; a (1,1)
+    # mesh can't exercise >1 slab through shard_map on this single chip, so
+    # decompose explicitly — 4 row slabs, 8 real halo rows each,
+    # corrections-off kernel (row_off/h_valid), pooled partials summed —
+    # and require equality with the full-image pooled kernel, both
+    # compiled (not interpret) on the TPU.
+    import jax.numpy as jnp
+
+    from colorvideovdp_tpu.ops import blur as bl
+    from colorvideovdp_tpu.ops.kernels.masking_fused import (
+        fused_blur_transducer,
+    )
+
+    rng = np.random.RandomState(29)
+    C, L, Hh, Wh = 4, 2, 256, 512
+    ks, sigma, beta = 13, 3.0, 2.0
+    m_pre = rng.rand(C, L, Hh, Wh).astype(np.float32)
+    diff = rng.rand(C, L, Hh, Wh).astype(np.float32) * 3.0
+    qs = np.array([0.7, 0.9, 1.1, 0.8], np.float32)
+    p_t, max_v, scale = 2.3, 300.0, 0.16
+    xcm = rng.rand(4, 4).astype(np.float32)
+    k = bl.gaussian_kernel1d(ks, sigma)
+    want = np.asarray(fused_blur_transducer(
+        jnp.asarray(m_pre), jnp.asarray(diff), k, scale, qs, p_t, xcm,
+        max_v, pool_beta=beta, interpret=False))
+    n_sp, r = 4, 8
+    H_loc = Hh // n_sp
+    total = np.zeros_like(want)
+    for s in range(n_sp):
+        lo, hi = s * H_loc, (s + 1) * H_loc
+        above = (m_pre[:, :, 1:r + 1][:, :, ::-1] if s == 0
+                 else m_pre[:, :, lo - r:lo])
+        below = (m_pre[:, :, -r - 1:-1][:, :, ::-1] if s == n_sp - 1
+                 else m_pre[:, :, hi:hi + r])
+        m_halo = np.concatenate([above, m_pre[:, :, lo:hi], below], axis=2)
+        zr = np.zeros((C, L, r, Wh), np.float32)
+        d_halo = np.concatenate([zr, diff[:, :, lo:hi], zr], axis=2)
+        total += np.asarray(fused_blur_transducer(
+            jnp.asarray(m_halo), jnp.asarray(d_halo), k, scale, qs, p_t,
+            xcm, max_v, pool_beta=beta, interpret=False, row_off=r,
+            h_valid=H_loc))
+    halo_rel = float(np.abs(total - want).max() / max(want.max(), 1.0))
+
     print(json.dumps({
         "metric": "shard_map'd Pallas video step, (1,1) mesh on real chip",
         "backend": jax.default_backend(),
@@ -291,8 +405,10 @@ def _shard_smoke():
         "image_1080p_sharded_xla_ms": round(t_sharded * 1e3, 2),
         "image_1080p_fused_ms": round(t_fused * 1e3, 2),
         "image_sharded_cost_factor": round(t_sharded / t_fused, 2),
+        "halo_slab_compiled_max_rel_diff": halo_rel,
+        "halo_slab_compiled_ok": bool(halo_rel < 1e-5),
     }))
-    if d >= 1e-4:
+    if d >= 1e-4 or halo_rel >= 1e-5:
         raise SystemExit(1)
 
 
@@ -445,6 +561,8 @@ def main():
     except Exception as e:  # bench must never die on the probe
         logging.debug(f"mp4 decode probe skipped: {e}")
 
+    e2e_measured_fps, native_decode_fps, e2e_jod = _e2e_measured(m, H, W, fps)
+
     gb_frame = _traffic_model(m, H, W, blk, fl) / 1e9
     achieved = gb_frame * dev_fps
 
@@ -455,6 +573,14 @@ def main():
         "vs_baseline": round(dev_fps / 30.0, 3),
         "e2e_fps": round(e2e_fps, 3),
         "e2e_model_fps": round(min(decode_fps, dev_fps), 2),
+        # Wall-clocked full predict on a REAL x264 mp4 pair at the bench
+        # resolution (native decode thread -> tunnel upload -> device);
+        # tunnel-bound in this container, see e2e_note.
+        "e2e_measured_fps": (None if e2e_measured_fps is None
+                             else round(e2e_measured_fps, 3)),
+        "e2e_measured_jod": (None if e2e_jod is None else round(e2e_jod, 4)),
+        "mp4_decode_fps_at_res": (None if native_decode_fps is None
+                                  else round(native_decode_fps, 1)),
         "decode_fps": round(decode_fps, 2),
         "mp4_decode_fps_720p": mp4_decode_fps,
         "tunnel_transfer_fps": round(tunnel_fps, 3),

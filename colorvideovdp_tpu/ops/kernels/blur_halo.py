@@ -101,7 +101,15 @@ def apply_blur_tile(sl, i, nT, taps, th, H, W, Wp=None, v_corrections=True):
     # zeros, matching zero padding), then masked reflect corrections at the
     # real right edge.
     left = [yv[:, c:c + 1] for c in range(r, 0, -1)]
-    zr = jnp.zeros((yv.shape[0], r), jnp.float32)
+    # NB: derive the right-side zeros from yv rather than minting a fresh
+    # jnp.zeros — a fresh vector carries sublane offset 0 while yv (a sum
+    # of halo-slab reads at row offset 8-r) carries a nonzero one, and
+    # Mosaic rejects the lane concat with "result/input offset mismatch on
+    # non-concat dimension". Only the v_corrections=False (sharded
+    # row_off) variant hits this: the edge-correction `where`s otherwise
+    # normalise yv's layout. Caught compiling the halo'd route on real
+    # hardware (bench.py --shard-smoke); interpret mode cannot see it.
+    zr = yv[:, :r] * 0.0
     xp = jnp.concatenate(left + [yv, zr], axis=1)  # width Wp + 2r
     yh = None
     for t in range(ks):
