@@ -590,7 +590,11 @@ def main():
         "jod": round(float(np.asarray(Q).reshape(-1)[0]), 4),
         "cold_s": round(cold, 1),
         "oom_retried": oom_retried,
-        "compile_s": round(cold - warm, 1),
+        # cold - warm, floored at 0: both predicts re-upload the whole
+        # clip through the tunnel, whose throughput varies run-to-run by
+        # >2x, so the subtraction can go negative when the cache is fully
+        # warm and the warm run catches a slow tunnel window.
+        "compile_s": round(max(0.0, cold - warm), 1),
         # Container honesty: a cold predict uploads the whole clip through
         # the axon tunnel; at the measured warm tunnel rate that transfer
         # alone accounts for this much of cold_s (production hosts have

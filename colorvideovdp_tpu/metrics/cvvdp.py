@@ -636,22 +636,27 @@ class cvvdp(vq_metric):
             mem_avail = min(self.gpu_mem * 1e9, mem_avail)
         a = 0.6e9
         b = 24  # two fp32 3-channel sliding-window buffers
-        # NOTE: with tail donation removed (docs/step_profile.md finding 2)
-        # the old+new tails can briefly be live together, adding up to
-        # another `pix*(fl-1)*24` bytes at peak that this linear model does
-        # not charge. bench.py guards the headline run with an OOM-retry at
-        # a tighter budget; re-fit b against a measured 4K peak when the
-        # device is reachable.
-        # Working-set coefficient measured for the fused pipeline (the
-        # reference's torch value was 320; XLA's buffer reuse is tighter).
-        c = 160 if not self.training_mode else 800
+        # Working-set coefficient re-fit against the measured 4K OOM
+        # boundary on a real v5e (r4): blk=16 at 3840x2160 requires
+        # 16.35 GB total => per-frame footprint (16.35G - a - tails)/16
+        # = 107 B/pix (the old guess of 184 was ~70% high; XLA's buffer
+        # reuse is tighter than the reference's torch value of 320).
+        # c = 86 working set (+ b = 24 tails) + 6 B/pix of raw uint8
+        # block staging while a scan group of K blocks is queued
+        # (predict_video_source `pending`), ~8% margin over measured.
+        # blk=6..12 all execute at 4K; 10 is the model's 4K pick under
+        # the 12 GB fallback and is measured scan-safe (K=4 => 13.0 GB).
+        c = 92 if not self.training_mode else 800
         max_frames = int(
             math.floor(
                 (mem_avail - a - pix_cnt * (self.filter_len - 1) * b)
                 / (pix_cnt * b + pix_cnt * c)
             )
         )
-        return max(1, min(max_frames, N_frames))
+        # Cap at 32: beyond ~32 frames/block the dispatch amortisation is
+        # already >97% (measured 720p blk=32: 248 fps) while compile time
+        # and first-block latency keep growing with the block shape.
+        return max(1, min(max_frames, 32, N_frames))
 
     def get_ch_weights(self, no_channels):
         if hasattr(self, "ch_chrom_w"):

@@ -7,7 +7,10 @@ Variants are selected via env toggles before launch:
   CVVDP_NO_BAND_STACK=1          skip the stacked deep-band kernel
   CVVDP_MIN_W=512                per-band fused-route width gate (def. 360)
 
-Usage: python tools/step_bench.py [--quick] [--reps 6] [--scan K]
+Usage: python tools/step_bench.py [--quick] [--reps 6] [--scan K] [--blk N]
+
+``--blk N`` overrides the HBM-model block size (peak_gb in the output is
+the measured device peak for re-fitting the model, VERDICT r3 weak #4).
 """
 
 from __future__ import annotations
@@ -30,6 +33,9 @@ def main():
     scan_K = 0
     if "--scan" in sys.argv:
         scan_K = int(sys.argv[sys.argv.index("--scan") + 1])
+    blk_override = 0
+    if "--blk" in sys.argv:
+        blk_override = int(sys.argv[sys.argv.index("--blk") + 1])
 
     import jax.numpy as jnp
 
@@ -44,7 +50,7 @@ def main():
     m.F, _ = get_temporal_filters(fps, m.sigma_tf, m.beta_tf)
     m.filter_len = int(m.F[0].shape[0])
     fl = m.filter_len
-    blk = min(m.estimate_block_N(H * W, 10 ** 6), 32)
+    blk = blk_override or min(m.estimate_block_N(H * W, 10 ** 6), 32)
     N = blk
 
     rng = np.random.RandomState(7)
@@ -135,6 +141,17 @@ def main():
         dt_s = time.perf_counter() - t0
         out_line["stream_ms"] = round(dt_s / chain * 1e3, 1)
         out_line["fps"] = round(blk * chain / dt_s, 2)
+
+    try:
+        import jax
+
+        st = jax.devices()[0].memory_stats() or {}
+        if "peak_bytes_in_use" in st:
+            out_line["peak_gb"] = round(st["peak_bytes_in_use"] / 1e9, 2)
+        if "bytes_limit" in st:
+            out_line["hbm_limit_gb"] = round(st["bytes_limit"] / 1e9, 2)
+    except Exception:
+        pass
 
     print(json.dumps(out_line))
 
