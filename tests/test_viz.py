@@ -110,10 +110,10 @@ def test_heatmap_video_multiblock_matches_oracle(reference, crop_pair):
     assert np.abs(hm - hm_ref).max() < 1.1e-3
 
     # Raw heatmap is block-size invariant: multi-frame blocks (gpu_mem
-    # 0.62 -> 7-frame blocks) vs single-block must agree to the fp16
-    # storage quantum.
+    # 0.61 -> 5-frame blocks under the r4-refit HBM model) vs single-block
+    # must agree to the fp16 storage quantum.
     hms = []
-    for gm in (0.62, None):
+    for gm in (0.61, None):
         kw = dict(display_name="standard_4k", heatmap="raw", quiet=True)
         if gm is not None:
             kw["gpu_mem"] = gm
