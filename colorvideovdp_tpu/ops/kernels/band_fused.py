@@ -67,7 +67,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..pyramid import K5
 from .blur_halo import apply_blur_tile
-from .masking_fused import _lut_eval, _EPS
+from .masking_fused import _lut_eval, _EPS, _pospow, _exp10, _LOG2_10
 
 TH = 16  # row tile; must be a multiple of 16 (gn slab bases stay 8-aligned)
 
@@ -239,9 +239,9 @@ def _band_kernel(gi_hbm, gn_hbm, out_ref, s_gi, s_gn, sem, sem2, *, C, H, W,
         if c == 0:
             lb_r = jnp.maximum(Eb, 0.01)
             lb_t = lb_r if ref_only else jnp.maximum(Ea, 0.01)
-            logL = jnp.log10(lb_r)
+            logL = jnp.log2(lb_r) * (1.0 / _LOG2_10)
         logS_c = _lut_eval(logL, luts[c:c + 1], x0, scale_lut)[0]
-        S = (10.0 ** logS_c) * (float(gains[c]) * float(mul))
+        S = _exp10(logS_c) * (float(gains[c]) * float(mul))
         T_p = jnp.minimum((s_gi[2 * c] - Ea) / lb_t, 1000.0) * S
         R_p = jnp.minimum((s_gi[2 * c + 1] - Eb) / lb_r, 1000.0) * S
         m_c = jnp.minimum(jnp.abs(T_p), jnp.abs(R_p))
@@ -253,14 +253,14 @@ def _band_kernel(gi_hbm, gn_hbm, out_ref, s_gi, s_gn, sem, sem2, *, C, H, W,
                              taps, th, H, W, W)
         m_b = yh * float(scale_blur)
         q = float(qs[c])
-        mq_c = (jnp.abs(m_b) + _EPS) ** q - _EPS ** q
+        mq_c = _pospow(jnp.abs(m_b) + _EPS, q) - _EPS ** q
         for d in range(C):
             term = float(xcm[c, d]) * mq_c
             mix[d] = term if mix[d] is None else mix[d] + term
 
     if pool_beta is None:
         for d in range(C):
-            du = ((diffs[d] + _EPS) ** float(p) - _EPS ** float(p)) \
+            du = (_pospow(diffs[d] + _EPS, p) - _EPS ** float(p)) \
                 / (1.0 + mix[d])
             out_ref[d, 0] = max_v * du / (max_v + du)
         return
@@ -274,7 +274,7 @@ def _band_kernel(gi_hbm, gn_hbm, out_ref, s_gi, s_gn, sem, sem2, *, C, H, W,
     crow = jax.lax.broadcasted_iota(jnp.int32, (C, L), 0)
     clane = jax.lax.broadcasted_iota(jnp.int32, (C, L), 1)
     for d in range(C):
-        du = ((diffs[d] + _EPS) ** float(p) - _EPS ** float(p)) \
+        du = (_pospow(diffs[d] + _EPS, p) - _EPS ** float(p)) \
             / (1.0 + mix[d])
         Dv = max_v * du / (max_v + du)
         sp = _pow_static(Dv + _EPS, b) - _EPS ** b

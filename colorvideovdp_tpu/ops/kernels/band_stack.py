@@ -91,9 +91,11 @@ def _stack_kernel(coef_ref, hw_ref, gi_ref, E_ref, Bh_ref, Bw_ref, out_ref,
     b = pl.program_id(0)
     l = pl.program_id(1)
 
+    from .masking_fused import _pospow, _exp10, _LOG2_10
+
     lb_r = jnp.maximum(E_ref[0, 1, 0], 0.01)
     lb_t = lb_r if ref_only else jnp.maximum(E_ref[0, 0, 0], 0.01)
-    logL = jnp.log10(lb_r)
+    logL = jnp.log2(lb_r) * (1.0 / _LOG2_10)
 
     # CSF LUT in relu-ladder form with per-band coefficients from SMEM
     # (coef[...,0] = value at knot 0; coef[...,k] = slope delta at knot
@@ -115,7 +117,7 @@ def _stack_kernel(coef_ref, hw_ref, gi_ref, E_ref, Bh_ref, Bw_ref, out_ref,
     from ..masking import _pow_static
 
     for c in range(C):
-        S = (10.0 ** acc[c]) * (float(gains[c]) * float(mul))
+        S = _exp10(acc[c]) * (float(gains[c]) * float(mul))
         T_p = jnp.minimum((gi_ref[0, 2 * c, 0] - E_ref[0, 2 * c, 0]) / lb_t,
                           1000.0) * S
         R_p = jnp.minimum((gi_ref[0, 2 * c + 1, 0] - E_ref[0, 2 * c + 1, 0])
@@ -129,7 +131,7 @@ def _stack_kernel(coef_ref, hw_ref, gi_ref, E_ref, Bh_ref, Bw_ref, out_ref,
         m_b = jnp.dot(t1, Bw_ref[0],
                       preferred_element_type=jnp.float32) * float(blur_scale)
         q = float(qs[c])
-        mq_c = (jnp.abs(m_b) + _EPS) ** q - _EPS ** q
+        mq_c = _pospow(jnp.abs(m_b) + _EPS, q) - _EPS ** q
         for d in range(C):
             term = float(xcm[c, d]) * mq_c
             mix[d] = term if mix[d] is None else mix[d] + term
@@ -149,7 +151,7 @@ def _stack_kernel(coef_ref, hw_ref, gi_ref, E_ref, Bh_ref, Bw_ref, out_ref,
     pos = b * L + l
     bta = float(pool_beta)
     for d in range(C):
-        du = ((diffs[d] + _EPS) ** float(p) - _EPS ** float(p)) \
+        du = (_pospow(diffs[d] + _EPS, p) - _EPS ** float(p)) \
             / (1.0 + mix[d])
         Dv = max_v * du / (max_v + du)
         sp = _pow_static(Dv + _EPS, bta) - _EPS ** bta

@@ -53,9 +53,11 @@ def _interp_acc(logL, luts, x0, scale, with_slope):
 
 
 def _fwd_kernel(logL_ref, out_ref, *, luts, x0, scale):
+    from .masking_fused import _exp10
+
     _, vals, _ = _interp_acc(logL_ref[:], luts, x0, scale, with_slope=False)
     for c in range(luts.shape[0]):
-        out_ref[c] = 10.0 ** vals[c]
+        out_ref[c] = _exp10(vals[c])
 
 
 def _bwd_kernel(logL_ref, g_ref, out_ref, *, luts, x0, scale):
@@ -66,9 +68,11 @@ def _bwd_kernel(logL_ref, g_ref, out_ref, *, luts, x0, scale):
     raw = (x - x0) * scale
     in_range = jnp.logical_and(raw > 0.0, raw < float(n - 1))
     dind = jnp.where(in_range, scale, 0.0)
+    from .masking_fused import _exp10
+
     acc = None
     for c in range(luts.shape[0]):
-        S = 10.0 ** vals[c]
+        S = _exp10(vals[c])
         term = g_ref[c] * S * _LN10 * slopes[c] * dind
         acc = term if acc is None else acc + term
     out_ref[:] = acc

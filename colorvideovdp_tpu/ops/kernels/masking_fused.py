@@ -30,6 +30,24 @@ from jax.experimental.pallas import tpu as pltpu
 
 _EPS = 1e-5
 
+# Base-2 transcendental forms for the kernels' pow/exp sites. The VPU's
+# transcendental unit natively evaluates exp2/log2; lax.pow(x, y) lowers to
+# the generic exp(y*log x) plus negative-base/edge-case selects. Every pow
+# in these kernels has a strictly positive base (|.| + eps, or 10^logS), so
+# the edge handling is dead weight — evaluate in base 2 directly. Error vs
+# lax.pow is a few fp32 ulps (oracle tests at 1e-4..1e-6 stay green).
+_LOG2_10 = float(np.log2(10.0))
+
+
+def _pospow(x, e):
+    """x ** e for strictly positive traced x, static float e."""
+    return jnp.exp2(float(e) * jnp.log2(x))
+
+
+def _exp10(x):
+    """10 ** x for traced x."""
+    return jnp.exp2(_LOG2_10 * x)
+
 
 def _lut_eval(logL, luts, x0, scale):
     """Piecewise-linear LUT on a VMEM tile, in relu-ladder form: with knots
@@ -57,7 +75,7 @@ def _kernel_a(T_ref, R_ref, logL_ref, mpre_ref, diff_ref, *, luts, x0, scale,
               gains):
     logS = _lut_eval(logL_ref[0], luts, x0, scale)
     for c in range(luts.shape[0]):
-        S = (10.0 ** logS[c]) * float(gains[c])
+        S = _exp10(logS[c]) * float(gains[c])
         T_p = T_ref[c] * S
         R_p = R_ref[c] * S
         mpre_ref[c] = jnp.minimum(jnp.abs(T_p), jnp.abs(R_p))
@@ -75,9 +93,9 @@ def _kernel_a_raw(gi_ref, E_ref, mpre_ref, diff_ref, *, luts, x0, scale,
     C = luts.shape[0]
     lb_r = jnp.maximum(E_ref[1], 0.01)
     lb_t = lb_r if ref_only else jnp.maximum(E_ref[0], 0.01)
-    logS = _lut_eval(jnp.log10(lb_r), luts, x0, scale)
+    logS = _lut_eval(jnp.log2(lb_r) * (1.0 / _LOG2_10), luts, x0, scale)
     for c in range(C):
-        S = (10.0 ** logS[c]) * (float(gains[c]) * float(mul))
+        S = _exp10(logS[c]) * (float(gains[c]) * float(mul))
         T_p = jnp.minimum((gi_ref[2 * c] - E_ref[2 * c]) / lb_t, 1000.0) * S
         R_p = jnp.minimum((gi_ref[2 * c + 1] - E_ref[2 * c + 1]) / lb_r,
                           1000.0) * S
@@ -90,13 +108,13 @@ def _kernel_b(m_ref, diff_ref, d_ref, *, qs, p, xcm, max_v):
     mq = []
     for c in range(C):
         q = float(qs[c])
-        mq.append((jnp.abs(m_ref[c]) + _EPS) ** q - _EPS**q)
+        mq.append(_pospow(jnp.abs(m_ref[c]) + _EPS, q) - _EPS**q)
     for d in range(C):
         mix = None
         for c in range(C):
             term = float(xcm[c, d]) * mq[c]
             mix = term if mix is None else mix + term
-        du = ((diff_ref[d] + _EPS) ** float(p) - _EPS ** float(p)) / (1.0 + mix)
+        du = (_pospow(diff_ref[d] + _EPS, p) - _EPS ** float(p)) / (1.0 + mix)
         d_ref[d] = max_v * du / (max_v + du)
 
 
@@ -168,14 +186,14 @@ def _blur_b_kernel(m_hbm, diff_ref, d_ref, scratch, sem, *, taps, scale,
         )
         m_b = yh * float(scale)
         q = float(qs[c])
-        mq_c = (jnp.abs(m_b) + _EPS) ** q - _EPS ** q
+        mq_c = _pospow(jnp.abs(m_b) + _EPS, q) - _EPS ** q
         for d in range(C):
             term = float(xcm[c, d]) * mq_c
             mix[d] = term if mix[d] is None else mix[d] + term
 
     if pool_beta is None:
         for d in range(C):
-            du = ((diff_ref[d, 0] + _EPS) ** float(p) - _EPS ** float(p)) \
+            du = (_pospow(diff_ref[d, 0] + _EPS, p) - _EPS ** float(p)) \
                 / (1.0 + mix[d])
             d_ref[d, 0] = max_v * du / (max_v + du)
         return
@@ -214,7 +232,7 @@ def _blur_b_kernel(m_hbm, diff_ref, d_ref, scratch, sem, *, taps, scale,
     crow = jax.lax.broadcasted_iota(jnp.int32, (C, L), 0)
     clane = jax.lax.broadcasted_iota(jnp.int32, (C, L), 1)
     for d in range(C):
-        du = ((diff_ref[d, 0] + _EPS) ** float(p) - _EPS ** float(p)) \
+        du = (_pospow(diff_ref[d, 0] + _EPS, p) - _EPS ** float(p)) \
             / (1.0 + mix[d])
         Dv = max_v * du / (max_v + du)
         sp = _pow_static(Dv + _EPS, b) - _EPS ** b
