@@ -444,6 +444,32 @@ def main():
         _shard_smoke()
         return
 
+    # Cache-cold compile gate (VERDICT r4 item 2): prove the full program
+    # set at the bench resolution compiles WITHOUT the persistent cache —
+    # the cache masks compile regressions (the r4 driver crash was a Pallas
+    # instance nothing had ever compiled fresh). Subprocess so the throwaway
+    # cache dir cannot leak into this process's jax config.
+    compile_sweep = None
+    if "--no-sweep" not in sys.argv:
+        import subprocess
+
+        try:
+            sweep_res = "720p" if quick else "4k"
+            r = subprocess.run(
+                [sys.executable,
+                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "tools", "compile_sweep.py"),
+                 "--res", sweep_res, "--json"],
+                capture_output=True, text=True, timeout=1500)
+            line = [ln for ln in r.stdout.splitlines()
+                    if ln.startswith("{")]
+            compile_sweep = (json.loads(line[-1]) if line else
+                             {"cold_compile_ok": False,
+                              "error": (r.stderr or r.stdout)[-400:]})
+        except Exception as e:
+            compile_sweep = {"cold_compile_ok": False,
+                             "error": f"sweep runner: {str(e)[:300]}"}
+
     import jax
 
     import colorvideovdp_tpu as cv
@@ -480,17 +506,33 @@ def main():
         return m.predict(V_test, V_ref, dim_order="HWCF",
                          frames_per_second=fps)
 
+    # Failure ladder (bench must degrade, never die — the r4 driver bench
+    # crashed on a compile-time scoped-VMEM error the old RESOURCE_EXHAUSTED
+    # guard re-raised): HBM OOM -> smaller block budget; compile/Mosaic/vmem
+    # errors -> fused kernels off (pure-XLA route, slower but bulletproof).
     oom_retried = False
+    fused_disabled = False
     t0 = time.time()
     try:
         Q, _ = _predict()
     except Exception as e:
-        if "RESOURCE_EXHAUSTED" not in str(e):
+        msg = str(e)
+        if "RESOURCE_EXHAUSTED" in msg:
+            logging.warning(
+                f"predict OOMed ({msg[:120]}); retrying with gpu_mem=11")
+            oom_retried = True
+            m = cv.cvvdp(display_name="standard_hdr_pq", quiet=True,
+                         gpu_mem=11)
+        elif any(s in msg.lower() for s in ("vmem", "mosaic", "internal",
+                                            "compile")):
+            logging.warning(
+                f"predict failed to compile ({msg[:160]}); retrying with "
+                "fused kernels disabled")
+            fused_disabled = True
+            m = cv.cvvdp(display_name="standard_hdr_pq", quiet=True)
+            m.enable_fused_kernels = False
+        else:
             raise
-        logging.warning(
-            f"predict OOMed ({str(e)[:120]}); retrying with gpu_mem=11")
-        oom_retried = True
-        m = cv.cvvdp(display_name="standard_hdr_pq", quiet=True, gpu_mem=11)
         t0 = time.time()  # cold_s should time the succeeding config only
         Q, _ = _predict()
     cold = time.time() - t0
@@ -500,8 +542,19 @@ def main():
     warm = time.time() - t0
     e2e_fps = N / warm
 
-    dev_fps, blk, fl, fps_detail = _device_fps(m, V_test, V_ref, H, W, N,
-                                               fps)
+    try:
+        dev_fps, blk, fl, fps_detail = _device_fps(m, V_test, V_ref, H, W, N,
+                                                   fps)
+    except Exception as e:
+        # Same degrade-don't-die contract as the predict ladder: the scan /
+        # steady-state step programs compile shapes predict never built.
+        logging.warning(f"device-fps pass failed ({str(e)[:160]}); "
+                        "remeasuring with fused kernels disabled")
+        fused_disabled = True
+        m = cv.cvvdp(display_name="standard_hdr_pq", quiet=True)
+        m.enable_fused_kernels = False
+        dev_fps, blk, fl, fps_detail = _device_fps(m, V_test, V_ref, H, W, N,
+                                                   fps)
 
     # Host decode throughput + the production e2e model. With the prefetch
     # thread (metrics/cvvdp.py:352, overlap proven by
@@ -590,6 +643,8 @@ def main():
         "jod": round(float(np.asarray(Q).reshape(-1)[0]), 4),
         "cold_s": round(cold, 1),
         "oom_retried": oom_retried,
+        "fused_disabled": fused_disabled,
+        "compile_sweep": compile_sweep,
         # cold - warm, floored at 0: both predicts re-upload the whole
         # clip through the tunnel, whose throughput varies run-to-run by
         # >2x, so the subtraction can go negative when the cache is fully

@@ -28,6 +28,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ._vmem import kernel_compiler_params
+
 _EPS = 1e-5
 
 # Base-2 transcendental forms for the kernels' pow/exp sites. The VPU's
@@ -274,8 +276,13 @@ def can_blur_transducer(C, H, W, kernel_size: int) -> bool:
 def _bt_tile(C, H, W):
     # Empirical scoped-vmem model (measured on v5e at th=24, W=3840:
     # 21.61 MB => ~59 live (th, W) fp32 tile-rows — Mosaic does not free
-    # the per-channel tap terms between channels). Target 14 MB of the
-    # 16 MB limit.
+    # the per-channel tap terms between channels). The model is a point
+    # fit and Mosaic's real liveness varies with shape: the real_hw
+    # masked variant at W=512, th=120 measured 17.78 MB (~76 planes,
+    # BENCH_r04.json — the r4 driver crash). The target stays at 14 MB
+    # for headroom, but compiles are protected by the raised per-kernel
+    # scoped-vmem limit (kernels/_vmem.py, 64 MB) rather than by this
+    # fit being exact.
     live_planes = 13 * C + 7
     th = (14 * 1024 * 1024) // (live_planes * W * 4) // 8 * 8
     th = max(8, min(128, th))
@@ -348,6 +355,7 @@ def fused_blur_transducer(m_pre, diff, taps, scale, qs, p: float,
             pltpu.VMEM((C, th + 16, Wp), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
+        compiler_params=kernel_compiler_params(),
         interpret=interpret,
     )(m_pre, diff)
     if pool_beta is None and real_hw is None and (Hp, Wp) != (H, W):
@@ -393,6 +401,7 @@ def fused_csf_contrast(T, R, logL, luts: np.ndarray, x0: float, x1: float,
             jax.ShapeDtypeStruct((C, L, H, W), jnp.float32),
             jax.ShapeDtypeStruct((C, L, H, W), jnp.float32),
         ),
+        compiler_params=kernel_compiler_params(),
         interpret=jax.default_backend() != "tpu",
     )(T, R, logL)
 
@@ -429,6 +438,7 @@ def fused_csf_contrast_raw(gi, E, luts: np.ndarray, x0: float, x1: float,
             jax.ShapeDtypeStruct((C, L, H, W), jnp.float32),
             jax.ShapeDtypeStruct((C, L, H, W), jnp.float32),
         ),
+        compiler_params=kernel_compiler_params(),
         interpret=jax.default_backend() != "tpu",
     )(gi, E)
 
@@ -448,6 +458,7 @@ def fused_masking_transducer(M, diff, qs, p: float, xcm: np.ndarray,
         in_specs=[b4(), b4()],
         out_specs=b4(),
         out_shape=jax.ShapeDtypeStruct((C, L, H, W), jnp.float32),
+        compiler_params=kernel_compiler_params(),
         interpret=jax.default_backend() != "tpu",
     )(M, diff)
 
