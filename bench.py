@@ -124,9 +124,10 @@ def _e2e_measured(m, H, W, fps, n_frames=12):
                  0, 255).astype(np.uint8)
     u0 = np.full((H // 2, W // 2), 128, np.uint8)
     files = []
+    tmpd = tempfile.mkdtemp(prefix="cvvdp_e2e_")
     try:
         for tag, noise in (("ref", 0.0), ("test", 6.0)):
-            f = tempfile.mktemp(suffix=f"_{tag}.mp4")
+            f = os.path.join(tmpd, f"{tag}.mp4")
             wenc = ffcodec.CodecVideoWriter(f, W, H, fps, bit_depth=8,
                                             codec="libx264", crf=20.0)
             for i in range(n_frames):
@@ -162,11 +163,9 @@ def _e2e_measured(m, H, W, fps, n_frames=12):
         logging.warning(f"measured-e2e probe skipped: {e}")
         return None, None, None
     finally:
-        for f in files:
-            try:
-                os.remove(f)
-            except OSError:
-                pass
+        import shutil
+
+        shutil.rmtree(tmpd, ignore_errors=True)
 
 
 def _device_fps(m, V_test, V_ref, H, W, N, fps, reps=4):
@@ -596,20 +595,21 @@ def main():
                          0, 255).astype(np.uint8)
             up = np.clip(gaussian_filter(rng_p.randn(ph // 2, pw // 2), 2)
                          * 60 + 128, 0, 255).astype(np.uint8)
-            probe = tempfile.mktemp(suffix=".mp4")
-            wenc = ffcodec.CodecVideoWriter(probe, pw, ph, 30, bit_depth=8,
-                                            codec="libx264", crf=23.0)
-            for i in range(pn):
-                wenc.write_frame_yuv(np.roll(yp, i, axis=1), up, up)
-            wenc.close()
-            best = 0.0
-            for _ in range(3):
-                rd = ffcodec.CodecVideoReader(probe)
-                t0 = time.time()
-                rd.get_packed_frames(0, pn)
-                best = max(best, pn / (time.time() - t0))
-                rd.unload()
-            os.remove(probe)
+            with tempfile.TemporaryDirectory(prefix="cvvdp_probe_") as td:
+                probe = os.path.join(td, "probe.mp4")
+                wenc = ffcodec.CodecVideoWriter(probe, pw, ph, 30,
+                                                bit_depth=8,
+                                                codec="libx264", crf=23.0)
+                for i in range(pn):
+                    wenc.write_frame_yuv(np.roll(yp, i, axis=1), up, up)
+                wenc.close()
+                best = 0.0
+                for _ in range(3):
+                    rd = ffcodec.CodecVideoReader(probe)
+                    t0 = time.time()
+                    rd.get_packed_frames(0, pn)
+                    best = max(best, pn / (time.time() - t0))
+                    rd.unload()
             mp4_decode_fps = round(best, 1)
     except Exception as e:  # bench must never die on the probe
         logging.debug(f"mp4 decode probe skipped: {e}")

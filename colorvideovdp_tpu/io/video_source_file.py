@@ -407,35 +407,69 @@ class video_source_image_frames(video_source_dm):
 class video_source_matlab(video_source_dm):
     """Test/reference from .mat files (reference:
     video_source_file.py:708-749): heuristic variable pick + dim-order
-    inference."""
+    inference. Additionally descends into MATLAB structs — content saved
+    as e.g. ``save('f.mat', 'data')`` where ``data.I_vid`` holds the frames
+    (common from the Matlab wrapper workflow) is found by a recursive walk;
+    the reference's plain ``sio.loadmat`` call cannot see inside structs."""
 
     def __init__(self, test_fname, reference_fname,
                  display_photometry="sdr_4k_30", config_paths=None, fps=0,
                  **kwargs):
         super().__init__(display_photometry=display_photometry,
                          config_paths=config_paths)
-        self.fps = fps or 0
-        self.test = self._load_mat(test_fname)
-        self.ref = self._load_mat(reference_fname)
+        self.test, mat_fps = self._load_mat(test_fname)
+        self.ref, _ = self._load_mat(reference_fname)
         if self.test.shape != self.ref.shape:
             raise vq_exception(
                 "Test and reference .mat content must have the same shape"
             )
         self.N_frames = self.test.shape[1]
-        if self.N_frames > 1 and not self.fps:
-            raise vq_exception("You must specify --fps for .mat videos")
+        # fps precedence mirrors the reference (video_source_file.py:723-724):
+        # explicit argument, then the .mat's own 'fps' variable, then 30.
+        self.fps = fps or mat_fps or (30 if self.N_frames > 1 else 0)
 
+    # Reference heuristic (video_source_file.py:711-716): first variable
+    # with 2..4 dims and more than 10 pixels is the content.
     @staticmethod
-    def _load_mat(fname):
+    def _is_content(a):
+        return (isinstance(a, np.ndarray) and a.dtype.names is None
+                and 1 < a.ndim <= 4 and a.size > 10)
+
+    @classmethod
+    def _walk_struct(cls, obj, found):
+        """Collect content candidates and 'fps' scalars from nested
+        mat_struct objects (depth-first, field order preserved)."""
+        for name in obj._fieldnames:
+            elem = obj.__dict__[name]
+            if name == "fps" and np.ndim(elem) == 0:
+                found.setdefault("fps", float(elem))
+            elif hasattr(elem, "_fieldnames"):
+                cls._walk_struct(elem, found)
+            elif cls._is_content(elem):
+                found.setdefault("content", elem)
+
+    @classmethod
+    def _load_mat(cls, fname):
         from scipy.io import loadmat
 
         v = loadmat(fname)
         keys = [k for k in v.keys() if not k.startswith("__")]
-        arrays = [v[k] for k in keys if isinstance(v[k], np.ndarray)]
-        arrays = [a for a in arrays if a.ndim >= 2]
-        if not arrays:
-            raise vq_exception(f"No image/video variable found in '{fname}'")
-        a = max(arrays, key=lambda x: x.size)
+        a = next((v[k] for k in keys if cls._is_content(v[k])), None)
+        fps = (float(np.asarray(v["fps"]).reshape(-1)[0])
+               if "fps" in v else 0.0)
+        if a is None:
+            # Nothing at the top level — re-load with structs as objects
+            # and walk them for the content (and an fps field).
+            found = {}
+            vs = loadmat(fname, struct_as_record=False, squeeze_me=True)
+            for k in keys:
+                if hasattr(vs[k], "_fieldnames"):
+                    cls._walk_struct(vs[k], found)
+            if "content" not in found:
+                raise vq_exception(
+                    f"No image/video variable found in '{fname}'")
+            a = np.atleast_2d(found["content"])
+            fps = fps or found.get("fps", 0.0)
         # Infer dim order: HW, HWC or HWCF/HWF.
         if a.ndim == 2:
             a = a[:, :, None, None]  # H W C F
@@ -448,7 +482,7 @@ class video_source_matlab(video_source_dm):
         a = a.transpose(3, 2, 0, 1)[None]
         if a.dtype == np.float64:
             a = a.astype(np.float32)
-        return np.ascontiguousarray(a)
+        return np.ascontiguousarray(a), fps
 
     def get_video_size(self):
         return (self.test.shape[3], self.test.shape[4], self.N_frames)

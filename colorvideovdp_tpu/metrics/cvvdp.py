@@ -656,6 +656,12 @@ class cvvdp(vq_metric):
         # Cap at 32: beyond ~32 frames/block the dispatch amortisation is
         # already >97% (measured 720p blk=32: 248 fps) while compile time
         # and first-block latency keep growing with the block shape.
+        # At 4K-scale the measured-working region is blk<=12 (blk=16 OOMs;
+        # 13-15 sit in an unmeasured gap the fit predicts fits, ~14.6 GB at
+        # blk=14) — cap there until 13/14 are executed on hardware, so a
+        # full 15.75 GB device cannot pick into the gap.
+        if pix_cnt >= 6e6:
+            max_frames = min(max_frames, 12)
         return max(1, min(max_frames, 32, N_frames))
 
     def get_ch_weights(self, no_channels):

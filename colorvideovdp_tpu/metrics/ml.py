@@ -219,8 +219,10 @@ def _mlp_from_flat(flat, net="mlp"):
     used = set()
     idx = set()
     for k in flat:
-        head = k.split(".")[0]
-        if not head.isdigit() or k.split(".")[1] not in ("weight", "bias"):
+        parts = k.split(".")
+        head = parts[0]
+        if (len(parts) < 2 or not head.isdigit()
+                or parts[1] not in ("weight", "bias")):
             raise vq_exception(
                 f"cvvdp_ml checkpoint: net '{net}' has non-MLP key '{k}' "
                 "(expected '<layer_idx>.weight'/'<layer_idx>.bias' from a "

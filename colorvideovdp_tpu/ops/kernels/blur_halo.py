@@ -109,6 +109,10 @@ def apply_blur_tile(sl, i, nT, taps, th, H, W, Wp=None, v_corrections=True):
     # row_off) variant hits this: the edge-correction `where`s otherwise
     # normalise yv's layout. Caught compiling the halo'd route on real
     # hardware (bench.py --shard-smoke); interpret mode cannot see it.
+    # Assumes finite inputs (a NaN/Inf in yv's first r columns would leak
+    # into this pad, where jnp.zeros was exact) — guaranteed upstream: the
+    # kernels see post-ingest fp32 from uint8/uint16 or the debug-checked
+    # float path (metrics/cvvdp.py NaN check).
     zr = yv[:, :r] * 0.0
     xp = jnp.concatenate(left + [yv, zr], axis=1)  # width Wp + 2r
     yh = None

@@ -522,7 +522,7 @@ def make_fused_mult_mutual_raw(luts: np.ndarray, x0: float, x1: float,
 
     _sharded_pool_call = None
     if mesh is not None:
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
         # The kernels see (C, L=B*F, H, W): rows sharded over "space", and
@@ -701,7 +701,7 @@ def make_fused_mult_mutual(luts: np.ndarray, x0: float, x1: float, gains,
                                         max_v)
 
     if mesh is not None:
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
         bax = "batch" if "batch" in mesh.axis_names else None

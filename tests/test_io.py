@@ -151,6 +151,57 @@ def test_image_source_and_mat(tmp_path):
     assert blk.shape == (1, 1, 3, 24, 32)
 
 
+def test_mat_nested_struct_and_fps(tmp_path, reference):
+    """A .mat pair whose content lives inside a (nested) MATLAB struct —
+    the Matlab-wrapper workflow — must load exactly like the flat layout,
+    and the flat layout must agree with the reference's variable-pick
+    heuristic (reference video_source_file.py:710-716, fps at :723-724)."""
+    from scipy.io import savemat
+
+    from colorvideovdp_tpu.io.video_source_file import (video_source_file,
+                                                        video_source_matlab)
+
+    rng = np.random.RandomState(7)
+    vid = (rng.rand(24, 32, 3, 5) * 200).astype(np.float32)
+
+    flat = str(tmp_path / "flat.mat")
+    savemat(flat, {"I_vid": vid, "fps": 24.0})
+    vs_flat = video_source_file(flat, flat, display_photometry="standard_4k")
+    assert vs_flat.get_frames_per_second() == 24.0  # from the mat variable
+    assert vs_flat.get_video_size() == (24, 32, 5)
+
+    # Same content one and two struct levels deep.
+    for layout in ({"data": {"I_vid": vid, "fps": 24.0}},
+                   {"result": {"meta": {"note": np.float64(1.0)},
+                               "clip": {"I_vid": vid, "fps": 24.0}}}):
+        nested = str(tmp_path / "nested.mat")
+        savemat(nested, layout)
+        vs_n = video_source_file(nested, nested,
+                                 display_photometry="standard_4k")
+        assert vs_n.get_frames_per_second() == 24.0
+        np.testing.assert_array_equal(vs_n.get_raw_block("test", 0, 5),
+                                      vs_flat.get_raw_block("test", 0, 5))
+
+    # Variable-pick parity on the flat file: the reference's get_content
+    # heuristic must select the same array we load.
+    import importlib
+
+    ref_vsf = importlib.import_module("pycvvdp.video_source_file")
+    ref_mat = ref_vsf.video_source_matlab.__new__(ref_vsf.video_source_matlab)
+    import scipy.io as sio
+
+    picked = ref_mat.get_content(sio.loadmat(flat))
+    ours, fps = video_source_matlab._load_mat(flat)
+    assert fps == 24.0
+    np.testing.assert_array_equal(ours[0].transpose(2, 3, 1, 0), picked)
+
+    # CLI-facing default: no fps anywhere -> 30, like the reference.
+    nofps = str(tmp_path / "nofps.mat")
+    savemat(nofps, {"I_vid": vid})
+    vs0 = video_source_file(nofps, nofps, display_photometry="standard_4k")
+    assert vs0.get_frames_per_second() == 30
+
+
 def test_video_writer_mp4(tmp_path):
     from colorvideovdp_tpu.io.writers import VideoWriter
 

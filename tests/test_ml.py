@@ -224,6 +224,98 @@ def test_ml_saliency_end_to_end_matches_oracle(reference, ml_pair, tmp_path,
     assert abs(float(Q) - float(Q_ref)) < 5e-3, (float(Q), float(Q_ref))
 
 
+def test_ml_saliency_video_end_to_end_matches_oracle(reference, ml_pair,
+                                                     tmp_path, monkeypatch):
+    """Video trunk (4 temporal channels) through the saliency-gated MLP
+    head (reference: cvvdp_ml_metric.py:463-550)."""
+    import torch
+    from torchvision.ops import MLP
+
+    import pycvvdp.cvvdp_ml_metric as refml
+
+    _, ref = ml_pair
+    N, fps = 6, 30
+    V_ref = np.repeat(ref[:48, :80][..., np.newaxis], N, axis=3)
+    rng = np.random.RandomState(11)
+    V_test = ((V_ref.astype(np.float32) / 255
+               + rng.randn(*V_ref.shape) * 0.05).clip(0, 1) * 255
+              ).astype(np.uint8)
+
+    torch.manual_seed(13)
+    feature_net = MLP(in_channels=8, hidden_channels=[24] * 3 + [1],
+                      activation_layer=torch.nn.ReLU, dropout=0.2)
+    att_net = MLP(in_channels=16, hidden_channels=[48] * 4 + [1],
+                  activation_layer=torch.nn.ReLU, dropout=0.2)
+    ckpt = _mint_ckpt(tmp_path, {"feature_net": feature_net,
+                                 "att_net": att_net})
+    monkeypatch.setattr(refml, "hf_hub_download", lambda **kw: ckpt)
+
+    ref_m = refml.cvvdp_ml_saliency(
+        display_name="standard_4k", quiet=True, device=torch.device("cpu"))
+    with torch.no_grad():
+        Q_ref, _ = ref_m.predict(V_test, V_ref, dim_order="HWCF",
+                                 frames_per_second=fps)
+
+    m = ml.cvvdp_ml_saliency(display_name="standard_4k", quiet=True,
+                             config_paths=[str(tmp_path)])
+    Q, _ = m.predict(V_test, V_ref, dim_order="HWCF", frames_per_second=fps)
+    assert abs(float(Q) - float(Q_ref)) < 5e-3, (float(Q), float(Q_ref))
+
+
+def test_ml_ckpt_manifest(reference, tmp_path):
+    """tools/cvvdp_ml_manifest.json pins the published checkpoint layouts:
+    the state_dicts the reference's own net constructors produce must match
+    it exactly, the converter must validate a minted npz against it, and
+    any key/shape drift must be rejected."""
+    import torch
+    from torchvision.ops import MLP
+
+    import pycvvdp.cvvdp_ml_metric as refml
+    from convert_ml_ckpt import identify_family, load_manifest, validate
+
+    manifest = load_manifest()
+    fn = MLP(in_channels=8, hidden_channels=[24] * 3 + [1],
+             activation_layer=torch.nn.ReLU, dropout=0.2)
+    an = MLP(in_channels=16, hidden_channels=[48] * 4 + [1],
+             activation_layer=torch.nn.ReLU, dropout=0.2)
+    tr = refml.RegressionTransformer(in_channels=24, dim=256)
+
+    def flat(nets):
+        return {f"{n}.{k}": v.detach().numpy()
+                for n, net in nets.items()
+                for k, v in net.state_dict().items()}
+
+    sal = flat({"feature_net": fn, "att_net": an})
+    tfm = flat({"transformer_net": tr})
+    assert identify_family(sal.keys(), manifest) == "cvvdp_ml_saliency"
+    assert identify_family(tfm.keys(), manifest) == "cvvdp_ml_transformer"
+    assert validate(sal) == "cvvdp_ml_saliency"
+    assert validate(tfm) == "cvvdp_ml_transformer"
+
+    # Drift is rejected: wrong shape, missing key, extra key.
+    bad = dict(sal)
+    bad["att_net.0.weight"] = bad["att_net.0.weight"][:, :8]
+    with pytest.raises(ValueError, match="shape mismatch"):
+        validate(bad)
+    bad = dict(sal)
+    del bad["feature_net.0.bias"]
+    with pytest.raises(ValueError, match="missing key"):
+        validate(bad)
+    bad = dict(sal)
+    bad["feature_net.99.weight"] = np.zeros((1, 1), np.float32)
+    with pytest.raises(ValueError, match="unexpected key"):
+        validate(bad)
+
+    # The convert entry point validates what it writes.
+    ckpt = str(tmp_path / "cvvdp.ckpt")
+    torch.save({"state_dict": {k: torch.tensor(v) for k, v in sal.items()}},
+               ckpt)
+    from convert_ml_ckpt import main as conv_main
+
+    conv_main([ckpt, str(tmp_path / "out.npz")])
+    conv_main(["--validate", str(tmp_path / "out.npz")])
+
+
 def test_ml_transformer_video_end_to_end_matches_oracle(reference, ml_pair,
                                                         tmp_path,
                                                         monkeypatch):
