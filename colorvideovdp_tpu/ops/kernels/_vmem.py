@@ -10,11 +10,12 @@ blur+transducer instance at 4K's 270x480 band measured 17.78 MB against
 the 16 MB default — a ~27% model error at narrow W, BENCH_r04.json).
 
 Raising the per-kernel limit is free: scoped VMEM is stack allocation
-inside one custom call; nothing else shares the core while it runs, and
-every kernel here stays far below the raised ceiling (worst measured
-instance 21.6 MB). The tile models still target ~14 MB so the *common*
-case leaves VMEM headroom for Mosaic's own pipeline buffers; the raised
-limit turns a model miss from a compile failure into nothing.
+inside one custom call; nothing else shares the core while it runs.
+r5 raised the blur+transducer tile target to 44 MB (th=48 at 4K — the
+measured-fastest tile, tools/bt_tile_bench.py); the worst-case model
+estimate stays under the 64 MB ceiling even with the +23% narrow-W
+liveness overshoot, and any remaining model miss is a compile failure
+the bench preamble's cold sweep catches and degrades on.
 """
 
 from __future__ import annotations

@@ -283,8 +283,16 @@ def _bt_tile(C, H, W):
     # for headroom, but compiles are protected by the raised per-kernel
     # scoped-vmem limit (kernels/_vmem.py, 64 MB) rather than by this
     # fit being exact.
+    # r5: the raised per-kernel scoped-VMEM limit (kernels/_vmem.py, 64 MB)
+    # makes taller tiles legal, and they amortise the 2r=12 halo rows the
+    # blur recomputes per tile. Measured on v5e at the 4K band-0 pooled
+    # instance (tools/bt_tile_bench.py): th 16/24/32/40/48/64 ->
+    # 3.34/3.17/3.08/3.01/2.98/3.32 ms/frame — th=48 best, th=64 regresses
+    # (VMEM pressure stalls the DMA pipeline). The 44 MB target picks 48 at
+    # W=3840; model-vs-measured liveness stays under the 64 MB limit even
+    # at the narrow-W +23% overshoot (17.78 vs 14.5 MB at W=512, th=120).
     live_planes = 13 * C + 7
-    th = (14 * 1024 * 1024) // (live_planes * W * 4) // 8 * 8
+    th = (44 * 1024 * 1024) // (live_planes * W * 4) // 8 * 8
     th = max(8, min(128, th))
     return min(th, max(8, (H // 2) // 8 * 8))
 

@@ -176,6 +176,58 @@ def gausspyr_reduce(x):
     return _xla_reduce(x)
 
 
+_RIFFLE_M = {}
+
+
+def _riffle_mxu(ev, od, ax):
+    """Lane-axis phase interleave (out[2j]=ev[j], out[2j+1]=od[j]) as two
+    0/1-matrix matmuls on the MXU: reshape the lane axis into (n/B, B)
+    blocks and compute ``ev_blk @ Me + od_blk @ Mo`` with Me/Mo (B, 2B)
+    scatter matrices, then collapse (n/B, 2B) -> 2n (a trivial row-major
+    reshape). The riffle is block-local, so any B | n works.
+
+    Bit-exact: at HIGHEST precision f32 operands are decomposed into
+    disjoint-mantissa bf16 terms whose products with the exact constants
+    1.0/0.0 and whose non-overlapping accumulation reproduce x exactly;
+    on CPU/GPU the plain f32 FMA chain (one x*1 plus zeros) is exact too.
+    Asserted bit-equal to stack+reshape in tests/test_pyramid.py.
+
+    Rationale was: the stack+reshape interleave lowers to a kLoop fusion
+    with an exotic trailing-minor layout plus relayout copies (~2.5
+    ms/frame of copy.* + pad/interleave fusions at 4K, tools/profile_ops.py
+    r5); the matmul form rides the otherwise-idle MXU and writes a standard
+    layout. MEASURED SLOWER in context (v5e 4K step A/B, r5): 52.15 fps
+    riffle-on vs 57.87 off — exactness needs HIGHEST precision, whose ~6
+    bf16 MXU passes outweigh the relayout copies removed. Kept opt-in
+    (CVVDP_MXU_INTERLEAVE=1) for bisection; default off.
+    Returns None when no usable block size exists (caller falls back)."""
+    n = ev.shape[ax]
+    if ax != ev.ndim - 1 or od.shape[ax] != n:
+        return None
+    B = 0
+    for cand in (128, 64, 32):
+        if n % cand == 0:
+            B = cand
+            break
+    if B == 0:
+        return None
+    if B not in _RIFFLE_M:
+        Me = np.zeros((B, 2 * B), np.float32)
+        Mo = np.zeros((B, 2 * B), np.float32)
+        Me[np.arange(B), 2 * np.arange(B)] = 1.0
+        Mo[np.arange(B), 2 * np.arange(B) + 1] = 1.0
+        _RIFFLE_M[B] = (Me, Mo)
+    Me, Mo = _RIFFLE_M[B]
+    lead = ev.shape[:-1]
+    evb = ev.reshape(lead + (n // B, B))
+    odb = od.reshape(lead + (n // B, B))
+    out = (jnp.matmul(evb, jnp.asarray(Me, ev.dtype),
+                      precision=lax.Precision.HIGHEST)
+           + jnp.matmul(odb, jnp.asarray(Mo, ev.dtype),
+                        precision=lax.Precision.HIGHEST))
+    return out.reshape(lead + (2 * n,))
+
+
 def _expand_1d(x, axis: int, exp_size: int):
     """Zero-interleaved upsample + 5-tap valid conv, evaluated in polyphase
     form: even outputs y[2i] = 2(K0 xp[i] + K2 xp[i+1] + K4 xp[i+2]), odd
@@ -220,12 +272,17 @@ def _expand_1d(x, axis: int, exp_size: int):
             cfg_e[ax] = (0, 1, 1)
             cfg_o[ax] = (1, 0, 1)
         return lax.pad(ev, zero, cfg_e) + lax.pad(od, zero, cfg_o)
-    st = jnp.stack(
-        [lax.slice_in_dim(ev, 0, n_odd, axis=ax)
-         if n_even > n_odd else ev, od], axis=ax + 1)
-    sh = list(x.shape)
-    sh[ax] = 2 * n_odd
-    out = st.reshape(sh)
+    ev_t = (lax.slice_in_dim(ev, 0, n_odd, axis=ax)
+            if n_even > n_odd else ev)
+    out = None
+    if (ax == nd - 1 and n_odd >= 256
+            and os.environ.get("CVVDP_MXU_INTERLEAVE", "0") == "1"):
+        out = _riffle_mxu(ev_t, od, ax)
+    if out is None:
+        st = jnp.stack([ev_t, od], axis=ax + 1)
+        sh = list(x.shape)
+        sh[ax] = 2 * n_odd
+        out = st.reshape(sh)
     if n_even > n_odd:
         out = jnp.concatenate(
             [out, lax.slice_in_dim(ev, n_even - 1, n_even, axis=ax)],

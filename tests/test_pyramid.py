@@ -1,6 +1,7 @@
 """Pyramid parity: band geometry goldens + reduce/expand vs the reference
 oracle, including the odd/even edge-correction quirk."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -73,3 +74,24 @@ def test_reconstruct_inverts_decompose():
     bands, _ = lp.decompose(x)
     recon = np.asarray(lp.reconstruct(bands))
     np.testing.assert_allclose(recon, x, atol=1e-5)
+
+
+@pytest.mark.parametrize("shape,exp", [
+    ((3, 540, 960), (1080, 1920)),   # B=64 lane blocks
+    ((2, 135, 240), (270, 480)),     # odd rows, small W (riffle gated off)
+    ((1, 17, 480), (34, 960)),       # odd-length interleave + trailing even
+    ((1, 50, 257), (99, 513)),       # odd W: stack+reshape fallback
+    ((2, 64, 1920), (128, 3840)),    # B=128 lane blocks (4K band-0 shape)
+])
+def test_expand_mxu_riffle_bit_equal(shape, exp, monkeypatch):
+    """The MXU riffle interleave (ops/pyramid.py:_riffle_mxu) must be
+    bit-identical to the stack+reshape form: 0/1 scatter matrices at
+    HIGHEST precision reproduce each operand exactly (disjoint-mantissa
+    bf16 decomposition on TPU; a single x*1 FMA plus exact zeros on CPU)."""
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.rand(*shape).astype(np.float32) * 100 - 50)
+    monkeypatch.setenv("CVVDP_MXU_INTERLEAVE", "0")
+    a = np.asarray(pyr.gausspyr_expand(x, exp))
+    monkeypatch.setenv("CVVDP_MXU_INTERLEAVE", "1")
+    b = np.asarray(pyr.gausspyr_expand(x, exp))
+    assert np.array_equal(a, b)
