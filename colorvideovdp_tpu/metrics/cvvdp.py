@@ -631,7 +631,12 @@ class cvvdp(vq_metric):
                 "bytes_in_use", 0
             ) - 1e9
         except Exception:
-            mem_avail = 12e9
+            # memory_stats() is unavailable on some backends (returns None
+            # under the axon tunnel). 14 GB assumes a v5e-class 16 GB chip:
+            # it yields blk=12 at 4K, which is executed-on-hardware safe
+            # (r5: blk=12 runs at 59.7 fps; blk=14 OOMs; the >=6e6-pix cap
+            # below keeps any larger estimate out of the measured-OOM gap).
+            mem_avail = 14e9
         if self.gpu_mem is not None:
             mem_avail = min(self.gpu_mem * 1e9, mem_avail)
         a = 0.6e9
@@ -644,8 +649,8 @@ class cvvdp(vq_metric):
         # c = 86 working set (+ b = 24 tails) + 6 B/pix of raw uint8
         # block staging while a scan group of K blocks is queued
         # (predict_video_source `pending`), ~8% margin over measured.
-        # blk=6..12 all execute at 4K; 10 is the model's 4K pick under
-        # the 12 GB fallback and is measured scan-safe (K=4 => 13.0 GB).
+        # blk=6..12 all execute at 4K; 12 is the model's 4K pick under
+        # the 14 GB fallback, measured at 59.68 fps step latency (r5).
         c = 92 if not self.training_mode else 800
         max_frames = int(
             math.floor(
@@ -656,10 +661,10 @@ class cvvdp(vq_metric):
         # Cap at 32: beyond ~32 frames/block the dispatch amortisation is
         # already >97% (measured 720p blk=32: 248 fps) while compile time
         # and first-block latency keep growing with the block shape.
-        # At 4K-scale the measured-working region is blk<=12 (blk=16 OOMs;
-        # 13-15 sit in an unmeasured gap the fit predicts fits, ~14.6 GB at
-        # blk=14) — cap there until 13/14 are executed on hardware, so a
-        # full 15.75 GB device cannot pick into the gap.
+        # At 4K-scale the measured-working region is blk<=12: blk=14 and
+        # blk=16 both OOM on the real v5e (r5/r4 sweeps) — the cap is the
+        # measured boundary, not a guess, so a full 15.75 GB device cannot
+        # pick past it.
         if pix_cnt >= 6e6:
             max_frames = min(max_frames, 12)
         return max(1, min(max_frames, 32, N_frames))

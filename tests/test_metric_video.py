@@ -169,16 +169,22 @@ def test_estimate_block_N_model():
     m.gpu_mem = 12.0
     m.training_mode = True
     assert m.estimate_block_N(pix_4k, 600) <= n12
-    # r4 hardware fit: under the 12 GB fallback budget 4K picks blk=10
-    # (measured scan-safe; blk<=12 executes, blk=16 OOMs at 16.35 GB on a
-    # 15.75 GB v5e — docs/step_profile.md r4 table). The 32-frame cap
-    # bounds small-resolution picks to the tested region.
+    # r4/r5 hardware fit: a 12 GB budget picks blk=10, a 14 GB budget (the
+    # v5e-class fallback) picks blk=12 — the measured-fastest safe point
+    # (59.68 fps step latency; blk=14 and 16 OOM on the 15.75 GB v5e —
+    # docs/step_profile.md). The >=6e6-pix cap pins 4K picks at 12 even
+    # under huge budgets; the 32-frame cap bounds small-resolution picks.
     m.training_mode = False
     assert m.estimate_block_N(pix_4k, 600) == 10
+    m.gpu_mem = 14.0
+    assert m.estimate_block_N(pix_4k, 600) == 12
+    m.gpu_mem = 1000.0
+    assert m.estimate_block_N(pix_4k, 600) == 12
+    m.gpu_mem = 12.0
     assert m.estimate_block_N(1280 * 720, 600) == 32
-    # Model total at the pick stays under the measured OOM line.
+    # Model total at the blk=12 pick stays under the measured OOM line.
     a, b, c = 0.6e9, 24, 92
-    total = a + pix_4k * 8 * b + 10 * pix_4k * (b + c)
+    total = a + pix_4k * 8 * b + 12 * pix_4k * (b + c)
     assert total < 15.75e9
 
 
