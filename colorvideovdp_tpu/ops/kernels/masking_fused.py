@@ -539,9 +539,9 @@ def make_fused_mult_mutual_raw(luts: np.ndarray, x0: float, x1: float,
         bax = "batch" if "batch" in mesh.axis_names else None
         s4 = P(None, bax, "space", None)
         a_call = shard_map(a_call, mesh=mesh, in_specs=(s4, s4),
-                           out_specs=(s4, s4), check_rep=False)
+                           out_specs=(s4, s4), check_vma=False)
         b_call = shard_map(b_call, mesh=mesh, in_specs=(s4, s4),
-                           out_specs=s4, check_rep=False)
+                           out_specs=s4, check_vma=False)
 
         n_sp = int(dict(mesh.shape)["space"])
 
@@ -601,7 +601,7 @@ def make_fused_mult_mutual_raw(luts: np.ndarray, x0: float, x1: float,
 
             return shard_map(per_shard, mesh=mesh, in_specs=(s4, s4),
                              out_specs=P(None, bax),
-                             check_rep=False)(m4, d4)
+                             check_vma=False)(m4, d4)
 
         _sharded_pool_call = (_can_shard_bt, _sharded_pool_impl)
 
@@ -716,9 +716,9 @@ def make_fused_mult_mutual(luts: np.ndarray, x0: float, x1: float, gains,
         s4 = P(None, bax, "space", None)
         s3 = P(bax, "space", None)
         a_call = shard_map(a_call, mesh=mesh, in_specs=(s4, s4, s3),
-                           out_specs=(s4, s4), check_rep=False)
+                           out_specs=(s4, s4), check_vma=False)
         b_call = shard_map(b_call, mesh=mesh, in_specs=(s4, s4),
-                           out_specs=s4, check_rep=False)
+                           out_specs=s4, check_vma=False)
 
     def fwd_impl(T, R, logL):
         B, Cc, F, H, W = T.shape
