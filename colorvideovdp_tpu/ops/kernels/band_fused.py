@@ -320,8 +320,8 @@ def band_fused_tpu(gi, gn, luts: np.ndarray, x0: float, x1: float, gains,
     out = pl.pallas_call(
         kern,
         grid=(L, nT),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[

@@ -209,7 +209,7 @@ def blur_tpu(x, taps: np.ndarray, interpret=None):
     out = pl.pallas_call(
         kern,
         grid=(P, nT),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, th, Wp), lambda p, i: (p, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((P, Hp, Wp), jnp.float32),

@@ -353,7 +353,7 @@ def fused_blur_transducer(m_pre, diff, taps, scale, qs, p: float,
         kern,
         grid=(L, nT),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((C, 1, th, Wp), lambda l, i: (0, l, i, 0),
                          memory_space=pltpu.VMEM),
         ],

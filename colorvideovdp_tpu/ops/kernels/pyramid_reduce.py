@@ -49,32 +49,50 @@ def _tile_rows(H: int) -> int:
     return min(128, max(8, ((H - 16) // 2) // 8 * 8))
 
 
-def _reduce_kernel(x_hbm, out_ref, scratch, sem, *, th, H, W, Hp, Wp, nT):
+def _reduce_kernel(x_hbm, out_ref, scratch, sem, *, th, H, W, Hp, Wp, nT,
+                   halo=False, rows_odd=None):
     """One (th, Wop) decimated output tile. H/W are the REAL input sizes
-    (boundary corrections anchor to them); Hp/Wp the padded buffer sizes."""
+    (boundary corrections anchor to them); Hp/Wp the padded buffer sizes.
+
+    ``halo=True`` (sharded slab mode): the input buffer is a shard's row
+    slab with 8 rows of real neighbour context above and below (zeros at
+    the global edges) — H is the LOCAL owned row count, vertical edge
+    corrections are skipped (the shard_map caller applies them at the
+    global edges), and ``rows_odd`` carries the GLOBAL row-count parity
+    that keys the horizontal last-column correction (lpyr_dec.py:206)."""
     i = pl.program_id(1)
     p = pl.program_id(0)
     LS = 2 * th + 16  # slab rows DMA'd per interior tile
-    He = (H + 1) // 2
+    He = (H + 1) // 2 if not halo else H // 2
     Wo = (W + 1) // 2
     Wop = Wp // 2
-    rows_odd = (H % 2) == 1  # static: selects the reference's parity branch
+    if rows_odd is None:
+        rows_odd = (H % 2) == 1  # static: selects the parity branch
     k0, k1, k2, k3, k4 = (float(K5[t]) for t in range(5))
 
     # --- halo DMA: scratch[(g - (2*r0 - 8))] := x[g], zeros outside ------
+    # (halo mode: buffer row b holds global row b - 8, so the same tap
+    # arithmetic reads the slab at base 2*r0 with no zero lead-in.)
     @pl.when(i == 0)
     def _():
-        scratch[0:8, :] = jnp.zeros((8, Wp), jnp.float32)
-        cp = pltpu.make_async_copy(
-            x_hbm.at[p, pl.ds(0, LS - 8), :], scratch.at[pl.ds(8, LS - 8), :],
-            sem,
-        )
+        if halo:
+            cp = pltpu.make_async_copy(
+                x_hbm.at[p, pl.ds(0, LS), :], scratch.at[pl.ds(0, LS), :],
+                sem,
+            )
+        else:
+            scratch[0:8, :] = jnp.zeros((8, Wp), jnp.float32)
+            cp = pltpu.make_async_copy(
+                x_hbm.at[p, pl.ds(0, LS - 8), :],
+                scratch.at[pl.ds(8, LS - 8), :],
+                sem,
+            )
         cp.start()
         cp.wait()
 
     r0_last = (nT - 1) * th
-    base_l = 2 * r0_last - 8
-    size_l = Hp - base_l  # static, multiple of 8
+    base_l = 2 * r0_last - 8 if not halo else 2 * r0_last
+    size_l = min(Hp - base_l, LS)  # static, multiple of 8
 
     @pl.when(i == nT - 1)
     def _():
@@ -92,7 +110,7 @@ def _reduce_kernel(x_hbm, out_ref, scratch, sem, *, th, H, W, Hp, Wp, nT):
 
         @pl.when(jnp.logical_and(i > 0, i < nT - 1))
         def _():
-            base = pl.multiple_of(2 * i * th - 8, 8)
+            base = pl.multiple_of(2 * i * th - (0 if halo else 8), 8)
             cp = pltpu.make_async_copy(
                 x_hbm.at[p, pl.ds(base, LS), :],
                 scratch.at[pl.ds(0, LS), :],
@@ -111,20 +129,22 @@ def _reduce_kernel(x_hbm, out_ref, scratch, sem, *, th, H, W, Hp, Wp, nT):
 
     # Vertical edge corrections (lpyr_dec.py:199-209) as masked one-row
     # adds. x[0] -> scratch[8] (tile 0); x[g] -> scratch[g - (2*iL*th - 8)]
-    # in the tile iL that owns output row He-1.
-    first_fix = scratch[8, :] * k1 + scratch[9, :] * k0
-    row = jax.lax.broadcasted_iota(jnp.int32, (th, 1), 0)
-    yv = jnp.where((row == 0) & (i == 0), yv + first_fix[None, :], yv)
+    # in the tile iL that owns output row He-1. Skipped in halo mode —
+    # the shard_map caller applies them at the global edges only.
+    if not halo:
+        first_fix = scratch[8, :] * k1 + scratch[9, :] * k0
+        row = jax.lax.broadcasted_iota(jnp.int32, (th, 1), 0)
+        yv = jnp.where((row == 0) & (i == 0), yv + first_fix[None, :], yv)
 
-    iL = (He - 1) // th
-    rl = (He - 1) - iL * th  # static row index within tile iL
-    off = 2 * iL * th - 8    # scratch offset of that tile (-8 lead-in @ 0)
-    if rows_odd:
-        last_fix = (scratch[H - 1 - off, :] * k3
-                    + scratch[H - 2 - off, :] * k4)
-    else:
-        last_fix = scratch[H - 1 - off, :] * k4
-    yv = jnp.where((row == rl) & (i == iL), yv + last_fix[None, :], yv)
+        iL = (He - 1) // th
+        rl = (He - 1) - iL * th  # static row index within tile iL
+        off = 2 * iL * th - 8    # scratch offset of that tile (-8 lead @ 0)
+        if rows_odd:
+            last_fix = (scratch[H - 1 - off, :] * k3
+                        + scratch[H - 2 - off, :] * k4)
+        else:
+            last_fix = scratch[H - 1 - off, :] * k4
+        yv = jnp.where((row == rl) & (i == iL), yv + last_fix[None, :], yv)
 
     # --- horizontal pass in the transposed orientation -------------------
     yvT = yv.T  # (Wp, th)
@@ -175,7 +195,7 @@ def reduce_tpu(x, interpret=None):
     out = pl.pallas_call(
         kern,
         grid=(P, nT),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, th, Wp // 2), lambda p, i: (p, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((P, th * nT, Wp // 2), jnp.float32),
@@ -188,6 +208,57 @@ def reduce_tpu(x, interpret=None):
     if (th * nT, Wp // 2) != (He, Wo):
         out = out[:, :He, :Wo]
     return out
+
+
+def reduce_slab_tpu(x, H_loc: int, W: int, rows_odd: bool,
+                    interpret=None):
+    """Halo'd shard-slab reduce: ``x`` is (P, H_loc + 16, W) — a shard's
+    H_loc owned rows with 8 rows of real neighbour context above and below
+    (zeros at the global edges, matching the reference's zero-padded conv)
+    -> (P, H_loc // 2, ceil(W/2)). Vertical edge corrections are NOT
+    applied (the shard_map caller adds them at the global edges via
+    axis_index selects); ``rows_odd`` is the GLOBAL row-count parity for
+    the horizontal last-column correction."""
+    P, Hb, Wx = x.shape
+    assert Hb == H_loc + 16 and Wx == W and H_loc % 2 == 0
+    He = H_loc // 2
+    Wo = (W + 1) // 2
+    th = _tile_rows(H_loc)
+    nT = -(-He // th)
+    assert nT >= 2, "reduce_slab_tpu requires at least two row tiles"
+    Wp = _ceil_to(W, 256)
+    Hbp = _ceil_to(Hb, 8)
+    if (Hbp, Wp) != (Hb, W):
+        x = jnp.pad(x, ((0, 0), (0, Hbp - Hb), (0, Wp - W)))
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    kern = functools.partial(_reduce_kernel, th=th, H=H_loc, W=W, Hp=Hbp,
+                             Wp=Wp, nT=nT, halo=True,
+                             rows_odd=bool(rows_odd))
+    out = pl.pallas_call(
+        kern,
+        grid=(P, nT),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, th, Wp // 2), lambda p, i: (p, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((P, th * nT, Wp // 2), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2 * th + 24, Wp), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(x)
+    if (th * nT, Wp // 2) != (He, Wo):
+        out = out[:, :He, :Wo]
+    return out
+
+
+def can_reduce_slab(H_loc: int, W: int) -> bool:
+    """Whether ``reduce_slab_tpu`` supports one shard's (H_loc, W) slab."""
+    if H_loc % 2 or not (H_loc >= 48 and 256 <= W <= 8192):
+        return False
+    th = _tile_rows(H_loc)
+    return -(-(H_loc // 2) // th) >= 2
 
 
 def can_reduce_tpu(shape) -> bool:

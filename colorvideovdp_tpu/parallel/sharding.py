@@ -87,9 +87,13 @@ def shard_scoring_fn(metric, vid_source, met_colorspace, raw_shape, dtype,
         saved_mesh = getattr(metric, "sharding_mesh", None)
         saved_hint = metric.lpyr.reshard_hint
         saved_red = _pyr.FORCE_XLA
+        saved_ctx = _pyr.SHARD_CTX
         if use_kernels:
             metric.sharding_mesh = mesh
             metric.lpyr.reshard_hint = _reshard_hint
+            _pyr.SHARD_CTX = (
+                mesh, "batch" if "batch" in mesh.axis_names else None,
+                getattr(metric, "force_fused", False))
         else:
             metric.enable_fused_kernels = False
         _pyr.FORCE_XLA = True
@@ -118,6 +122,7 @@ def shard_scoring_fn(metric, vid_source, met_colorspace, raw_shape, dtype,
             metric.sharding_mesh = saved_mesh
             metric.lpyr.reshard_hint = saved_hint
             _pyr.FORCE_XLA = saved_red
+            _pyr.SHARD_CTX = saved_ctx
 
     in_sh = image_pair_sharding(mesh)
     out_sh = replicated(mesh)
@@ -175,9 +180,13 @@ def shard_video_fn(metric, vid_source, met_colorspace, raw_shape, dtype,
         saved_mesh = getattr(metric, "sharding_mesh", None)
         saved_hint = metric.lpyr.reshard_hint
         saved_red = _pyr.FORCE_XLA
+        saved_ctx = _pyr.SHARD_CTX
         metric.sharding_mesh = mesh
         metric.lpyr.reshard_hint = _reshard_hint
         _pyr.FORCE_XLA = True
+        _pyr.SHARD_CTX = (
+            mesh, "batch" if "batch" in mesh.axis_names else None,
+            getattr(metric, "force_fused", False))
         try:
             blk = T_buf.shape[2] - (fl - 1)
             T4 = apply_temporal_filters(T_buf, filt)
@@ -190,6 +199,7 @@ def shard_video_fn(metric, vid_source, met_colorspace, raw_shape, dtype,
             metric.sharding_mesh = saved_mesh
             metric.lpyr.reshard_hint = saved_hint
             _pyr.FORCE_XLA = saved_red
+            _pyr.SHARD_CTX = saved_ctx
 
     v_sh = video_block_sharding(mesh)
     out_sh = replicated(mesh)
