@@ -1200,9 +1200,14 @@ class cvvdp(vq_metric):
         # interior bands below the per-band fused-route gate all run in ONE
         # Mosaic instance — per-band LUT rows through SMEM, the blur as
         # per-band matrices on the MXU, pooling in VMEM. Pooled scoring
-        # path only (heatmap/dump need the per-band D tensors).
+        # path only (heatmap/dump need the per-band D tensors). Under a
+        # sharded trace the deep bands are KB-sized: the whole expand +
+        # stack pipeline runs REPLICATED inside shard_map (GSPMD
+        # all-gathers the tiny levels; each device computes the identical
+        # pooled values) instead of falling back to the per-band XLA chain
+        # (VERDICT r4 item 4 — sharded-path overhead).
         stack_Q = {}
-        if (raw_pairs and mesh is None and not self.do_heatmap
+        if (raw_pairs and not self.do_heatmap
                 and os.environ.get("CVVDP_NO_BAND_STACK") != "1"):
             force_f = getattr(self, "force_fused", False)
             min_w_gate = (128 if force_f
@@ -1242,13 +1247,6 @@ class cvvdp(vq_metric):
                         ])
                         for bb in sel
                     ])
-                    gi_list, E_list = [], []
-                    for bb in sel:
-                        gi_b, gn_b = B_bands[bb]
-                        E_list.append(gausspyr_expand(
-                            gn_b, (gi_b.shape[-2], gi_b.shape[-1])
-                        ))
-                        gi_list.append(gi_b)
                     fstack = make_band_stack(
                         luts_sel, float(self.csf.log_L_bkg[0]),
                         float(self.csf.log_L_bkg[-1]),
@@ -1258,7 +1256,39 @@ class cvvdp(vq_metric):
                         self.contrast.endswith("ref"), 2.0,
                         float(self.beta), shapes_sel,
                     )
-                    for bb, q in zip(sel, fstack(gi_list, E_list)):
+                    if mesh is None:
+                        gi_list, E_list = [], []
+                        for bb in sel:
+                            gi_b, gn_b = B_bands[bb]
+                            E_list.append(gausspyr_expand(
+                                gn_b, (gi_b.shape[-2], gi_b.shape[-1])
+                            ))
+                            gi_list.append(gi_b)
+                        qs_out = fstack(gi_list, E_list)
+                    else:
+                        from jax import shard_map as _smap
+                        from jax.sharding import PartitionSpec as _P
+
+                        nsel = len(sel)
+                        rep5 = _P(*([None] * B_bands[sel[0]][0].ndim))
+                        repq = _P(None, None, None)
+
+                        def _stack_body(*flat, _n=nsel):
+                            gis = flat[:_n]
+                            gns = flat[_n:]
+                            Es = [gausspyr_expand(
+                                gn, (gi.shape[-2], gi.shape[-1]))
+                                for gi, gn in zip(gis, gns)]
+                            return tuple(fstack(list(gis), Es))
+
+                        qs_out = _smap(
+                            _stack_body, mesh=mesh,
+                            in_specs=(rep5,) * (2 * nsel),
+                            out_specs=(repq,) * nsel,
+                            check_vma=False,
+                        )(*[B_bands[bb][0] for bb in sel],
+                          *[B_bands[bb][1] for bb in sel])
+                    for bb, q in zip(sel, qs_out):
                         stack_Q[bb] = q
 
         Q_cols = []
