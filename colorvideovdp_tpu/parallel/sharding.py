@@ -163,6 +163,8 @@ def shard_video_fn(metric, vid_source, met_colorspace, raw_shape, dtype,
     fl = metric.filter_len
 
     n_sp = int(mesh.shape["space"])
+    n_b = int(dict(mesh.shape).get("batch", 1))
+    bax = "batch" if "batch" in mesh.axis_names else None
 
     def _reshard_hint(x):
         # Row-shard levels while each device still gets >= 8 rows; replicate
@@ -174,7 +176,10 @@ def shard_video_fn(metric, vid_source, met_colorspace, raw_shape, dtype,
             spec = P("batch")
         return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
-    def core(T_buf, R_buf):
+    import contextlib
+
+    @contextlib.contextmanager
+    def _mesh_ctx():
         from ..ops import pyramid as _pyr
 
         saved_mesh = getattr(metric, "sharding_mesh", None)
@@ -184,10 +189,17 @@ def shard_video_fn(metric, vid_source, met_colorspace, raw_shape, dtype,
         metric.sharding_mesh = mesh
         metric.lpyr.reshard_hint = _reshard_hint
         _pyr.FORCE_XLA = True
-        _pyr.SHARD_CTX = (
-            mesh, "batch" if "batch" in mesh.axis_names else None,
-            getattr(metric, "force_fused", False))
+        _pyr.SHARD_CTX = (mesh, bax, getattr(metric, "force_fused", False))
         try:
+            yield
+        finally:
+            metric.sharding_mesh = saved_mesh
+            metric.lpyr.reshard_hint = saved_hint
+            _pyr.FORCE_XLA = saved_red
+            _pyr.SHARD_CTX = saved_ctx
+
+    def core(T_buf, R_buf):
+        with _mesh_ctx():
             blk = T_buf.shape[2] - (fl - 1)
             T4 = apply_temporal_filters(T_buf, filt)
             R4 = apply_temporal_filters(R_buf, filt)
@@ -195,14 +207,69 @@ def shard_video_fn(metric, vid_source, met_colorspace, raw_shape, dtype,
             Q, _hm, _dump = metric._process_block(Rfull, temp_ch=2,
                                                   is_image=False)
             return Q, T_buf[:, :, blk:], R_buf[:, :, blk:]
-        finally:
-            metric.sharding_mesh = saved_mesh
-            metric.lpyr.reshard_hint = saved_hint
-            _pyr.FORCE_XLA = saved_red
-            _pyr.SHARD_CTX = saved_ctx
 
     v_sh = video_block_sharding(mesh)
     out_sh = replicated(mesh)
+
+    # Fused Pallas ingest under the mesh: the kernel is row-local (dtype
+    # ladder + EOTF + DKL + temporal FIR + interleave touch no neighbour
+    # rows), so it shard_maps over row slabs with no collectives — the
+    # sharded video step otherwise pays the full-size XLA ingest chain
+    # the single-chip path eliminated (VERDICT r4 item 4).
+    from ..ops.kernels import ingest as _ingest
+
+    H, W = int(raw_shape[-2]), int(raw_shape[-1])
+    B = int(raw_shape[0])
+    H_loc = H // n_sp if H % n_sp == 0 else 0
+    use_ingest = (
+        getattr(metric, "enable_fused_kernels", True)
+        and (jax.default_backend() == "tpu"
+             or getattr(metric, "force_fused", False))
+        and not hasattr(vid_source, "unpack_raw_block")
+        and len(raw_shape) == 5 and int(raw_shape[2]) == 3
+        and (not first or metric.temp_padding == "replicate")
+        and B % max(n_b, 1) == 0 and B // max(n_b, 1) == 1
+        and H_loc >= 8 and W >= 128
+        and _ingest.supports(dm, met_colorspace, dtype)
+        and _ingest.pick_tiles(dtype, int(raw_shape[1]), fl, H_loc, W)
+        is not None
+    )
+    if use_ingest:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        loc_shape = (1, int(raw_shape[1]), 3, H_loc, W)
+        mode = "replicate" if first else "tail"
+        ing = _ingest.make_ingest_fn(dm, dtype, loc_shape, filt, fl, mode)
+        s5 = P(bax, None, None, "space", None)
+        n_in = 2 if first else 4
+        ing_sm = shard_map(ing, mesh=mesh, in_specs=(s5,) * n_in,
+                           out_specs=(s5, s5, s5), check_vma=False)
+
+        if first:
+
+            def fn(raw_t, raw_r):
+                Rfull, t_t, t_r = ing_sm(raw_t.reshape(raw_shape),
+                                         raw_r.reshape(raw_shape))
+                with _mesh_ctx():
+                    Q, _hm, _dump = metric._process_block(
+                        Rfull, temp_ch=2, is_image=False)
+                return Q, t_t, t_r
+
+            return jax.jit(fn, in_shardings=(v_sh, v_sh),
+                           out_shardings=(out_sh, v_sh, v_sh))
+
+        def fn(tail_t, tail_r, raw_t, raw_r):
+            Rfull, t_t, t_r = ing_sm(tail_t, tail_r,
+                                     raw_t.reshape(raw_shape),
+                                     raw_r.reshape(raw_shape))
+            with _mesh_ctx():
+                Q, _hm, _dump = metric._process_block(
+                    Rfull, temp_ch=2, is_image=False)
+            return Q, t_t, t_r
+
+        return jax.jit(fn, in_shardings=(v_sh, v_sh, v_sh, v_sh),
+                       out_shardings=(out_sh, v_sh, v_sh))
 
     if first:
 

@@ -356,3 +356,70 @@ def test_sharded_image_with_pallas_reduce_matches_single():
     m1 = cv.cvvdp(display_name="standard_4k", quiet=True)
     Q1, _ = m1.predict(test, ref, dim_order="HWC")
     assert abs(Q_sharded - float(Q1)) < 2e-4, (Q_sharded, float(Q1))
+
+
+def test_sharded_video_ingest_kernel_matches_single(monkeypatch):
+    """The sharded video step must route the fused Pallas ingest through
+    shard_map (row-local, no collectives) and still match the single-device
+    predict exactly."""
+    import jax
+    from jax.sharding import Mesh
+
+    from colorvideovdp_tpu.io.video_source import video_source_array
+    from colorvideovdp_tpu.ops.kernels import ingest as ing
+    from colorvideovdp_tpu.ops.temporal import get_temporal_filters
+    from colorvideovdp_tpu.parallel import sharding as sh
+
+    calls = []
+    orig = ing.make_ingest_fn
+
+    def spy(*a, **k):
+        calls.append(a[2])
+        return orig(*a, **k)
+
+    monkeypatch.setattr(ing, "make_ingest_fn", spy)
+
+    H, W, N, blk, fps = 128, 256, 8, 4, 30.0
+    rng = np.random.RandomState(11)
+    V_test = (rng.rand(H, W, 3, N) * 255).astype(np.uint8)
+    V_ref = np.clip(
+        V_test.astype(np.int16)
+        + (rng.randn(H, W, 3, N) * 10).astype(np.int16), 0, 255,
+    ).astype(np.uint8)
+
+    n = min(4, len(jax.devices()))
+    mesh = Mesh(np.array(jax.devices()[:n]).reshape(1, n),
+                ("batch", "space"))
+    mv = cv.cvvdp(display_name="standard_hdr_pq", quiet=True)
+    mv.force_fused = True
+    mv._ensure_pyramids(W, H)
+    mv.F, _ = get_temporal_filters(fps, mv.sigma_tf, mv.beta_tf,
+                                   mv.temp_filter)
+    mv.filter_len = int(mv.F[0].shape[0])
+    vs = video_source_array(V_test, V_ref, fps, dim_order="HWCF",
+                            display_photometry=mv.display_photometry)
+    v_sh = sh.video_block_sharding(mesh)
+    Q_blocks, tails = [], None
+    for ff in range(0, N, blk):
+        raw_t = vs.get_raw_block("test", ff, blk)
+        raw_r = vs.get_raw_block("reference", ff, blk)
+        fn = sh.shard_video_fn(mv, vs, "DKLd65", raw_t.shape, raw_t.dtype,
+                               mesh, first=(ff == 0))
+        dt = jax.device_put(raw_t, v_sh)
+        dr = jax.device_put(raw_r, v_sh)
+        if ff == 0:
+            Qb, t_t, t_r = fn(dt, dr)
+        else:
+            Qb, t_t, t_r = fn(tails[0], tails[1], dt, dr)
+        tails = (t_t, t_r)
+        Q_blocks.append(np.asarray(Qb))
+    Q_sharded = float(np.asarray(
+        mv.do_pooling_and_jods(np.concatenate(Q_blocks, axis=2))))
+
+    m1 = cv.cvvdp(display_name="standard_hdr_pq", quiet=True)
+    Q1, _ = m1.predict(V_test, V_ref, dim_order="HWCF",
+                       frames_per_second=fps)
+
+    assert calls, "sharded ingest route did not engage"
+    assert all(s[-2] == H // n for s in calls), calls  # per-shard slabs
+    assert abs(Q_sharded - float(Q1)) < 1e-4, (Q_sharded, float(Q1))
