@@ -236,7 +236,6 @@ def shard_video_fn(metric, vid_source, met_colorspace, raw_shape, dtype,
     )
     if use_ingest:
         from jax import shard_map
-        from jax.sharding import PartitionSpec as P
 
         loc_shape = (1, int(raw_shape[1]), 3, H_loc, W)
         mode = "replicate" if first else "tail"
