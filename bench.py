@@ -455,20 +455,33 @@ def _shard_smoke():
         raise SystemExit(1)
 
 
-def _device_reachable(timeout_s=180):
+def _device_reachable(timeout_s=180, retries=6, retry_wait_s=120):
     """Fail fast when the device link is down: PJRT init hangs indefinitely
     inside a C call (no Python-level timeout possible), so probe with a
-    tiny matmul in a killable subprocess first."""
+    tiny matmul in a killable subprocess first.
+
+    The axon tunnel FLAPS — brief down windows of a few minutes between up
+    stretches (measured r5: an up probe at T+0 and a dead one at T+90s).
+    A single-shot probe turns such a flap into a lost whole-round bench,
+    so retry with waits (~15 min of patience total) before giving up."""
     import subprocess
 
     code = ("import jax, numpy as np; x = jax.numpy.ones((64, 64)); "
             "print(float(np.asarray((x @ x).sum())))")
-    try:
-        r = subprocess.run([sys.executable, "-c", code],
-                           capture_output=True, timeout=timeout_s)
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+    for attempt in range(retries):
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, timeout=timeout_s)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if attempt < retries - 1:
+            logging.warning(
+                f"device probe {attempt + 1}/{retries} failed; retrying in "
+                f"{retry_wait_s}s (tunnel may be flapping)")
+            time.sleep(retry_wait_s)
+    return False
 
 
 def main():
