@@ -226,29 +226,41 @@ def _device_fps(m, V_test, V_ref, H, W, N, fps, reps=4):
     # is requested (metrics/cvvdp.py _get_video_scan_step): K blocks per
     # jit call via lax.scan, amortising the fixed per-dispatch cost that
     # the per-block chain above pays on every call (~35 ms under the axon
-    # tunnel; measured fit t(blk) = 35 + 14.8*blk ms at 4K).
-    K = 4
-    sfn = m._get_video_scan_step(vs, "DKLd65", raw_t.shape, raw_t.dtype, K)
-    out = sfn(tails[0], tails[1], *([dt] * K), *([dr] * K))
-    float(np.asarray(out[0]).sum())
-    tails = [out[1], out[2]]
-    acc = None
-    t0 = time.perf_counter()
-    for i in range(chain):
-        out = sfn(tails[0], tails[1], *([dt + np.uint8(i % 2)] * K),
-                  *([dr] * K))
-        tails = [out[1], out[2]]
-        q = out[0].sum()
-        acc = q if acc is None else acc + q
-    float(np.asarray(acc))
-    scan_fps = blk * K * chain / (time.perf_counter() - t0)
+    # tunnel; measured fit t(blk) = 35 + 14.8*blk ms at 4K). The group is
+    # budgeted against HBM exactly like production predict does: at 4K
+    # blk=12 the staged K=4 arguments pushed the program to a 16.34 GB
+    # compile-time OOM (r5 bench crash) — scan_group_limit returns 1 there
+    # and the per-block figure above stands alone.
+    K = min(4, m.scan_group_limit(H * W, blk, raw_t.nbytes))
+    scan_fps = None
+    if K >= 2:
+        try:
+            sfn = m._get_video_scan_step(vs, "DKLd65", raw_t.shape,
+                                         raw_t.dtype, K)
+            out = sfn(tails[0], tails[1], *([dt] * K), *([dr] * K))
+            float(np.asarray(out[0]).sum())
+            tails = [out[1], out[2]]
+            acc = None
+            t0 = time.perf_counter()
+            for i in range(chain):
+                out = sfn(tails[0], tails[1],
+                          *([dt + np.uint8(i % 2)] * K), *([dr] * K))
+                tails = [out[1], out[2]]
+                q = out[0].sum()
+                acc = q if acc is None else acc + q
+            float(np.asarray(acc))
+            scan_fps = blk * K * chain / (time.perf_counter() - t0)
+        except Exception as e:  # degrade, never die: per-block stands
+            logging.warning(f"scan-dispatch pass skipped ({str(e)[:160]})")
+            scan_fps = None
 
     detail = {
         "per_block_dispatch_fps": round(max(lat_fps, stream_fps), 2),
-        "scan_dispatch_fps": round(scan_fps, 2),
-        "scan_group": K,
+        "scan_dispatch_fps": (round(scan_fps, 2) if scan_fps else None),
+        "scan_group": K if scan_fps else 0,
     }
-    return max(lat_fps, stream_fps, scan_fps), blk, fl, detail
+    best = max(lat_fps, stream_fps, scan_fps or 0.0)
+    return best, blk, fl, detail
 
 
 def _shard_smoke():

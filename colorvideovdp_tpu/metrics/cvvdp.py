@@ -463,6 +463,20 @@ class cvvdp(vq_metric):
                         )
                         tails[0] = tfn(self._put_flat(head_t_np))
                         tails[1] = tfn(self._put_flat(head_r_np))
+                if ff == 0 and scan_K:
+                    # Staged scan uploads live in HBM alongside the step
+                    # program; shrink the group to what fits (r5: 4K blk=12
+                    # K=4 hit a compile-time HBM OOM at 16.34 GB — see
+                    # scan_group_limit). Below 2 the scan buys nothing.
+                    scan_K = min(
+                        scan_K,
+                        self.scan_group_limit(
+                            h * w * batch_sz, block_N_frames,
+                            raw_t_np.nbytes,
+                        ),
+                    )
+                    if scan_K < 2:
+                        scan_K = 0
                 if scan_K and is_full:
                     # Full (or padded-to-full) block: queue; dispatch K at a
                     # time through the scanned multi-block step.
@@ -622,9 +636,9 @@ class cvvdp(vq_metric):
             self.heatmap_pyr = LaplacianPyramid(width, height, self.pix_per_deg)
         self._block_fns = {}
 
-    def estimate_block_N(self, pix_cnt, N_frames):
-        """Static HBM budget model (TPU memory is predictable — no NVML).
-        Same linear form as the reference (cvvdp_metric.py:565-594)."""
+    def _hbm_avail(self):
+        """Usable HBM budget in bytes (device-reported minus a 1 GB reserve,
+        or a v5e-class fallback when the backend exposes no memory_stats)."""
         try:
             stats = jax.devices()[0].memory_stats()
             mem_avail = stats.get("bytes_limit", 16e9) - stats.get(
@@ -635,10 +649,17 @@ class cvvdp(vq_metric):
             # under the axon tunnel). 14 GB assumes a v5e-class 16 GB chip:
             # it yields blk=12 at 4K, which is executed-on-hardware safe
             # (r5: blk=12 runs at 59.7 fps; blk=14 OOMs; the >=6e6-pix cap
-            # below keeps any larger estimate out of the measured-OOM gap).
+            # in estimate_block_N keeps larger estimates out of the
+            # measured-OOM gap).
             mem_avail = 14e9
         if self.gpu_mem is not None:
             mem_avail = min(self.gpu_mem * 1e9, mem_avail)
+        return mem_avail
+
+    def estimate_block_N(self, pix_cnt, N_frames):
+        """Static HBM budget model (TPU memory is predictable — no NVML).
+        Same linear form as the reference (cvvdp_metric.py:565-594)."""
+        mem_avail = self._hbm_avail()
         a = 0.6e9
         b = 24  # two fp32 3-channel sliding-window buffers
         # Working-set coefficient re-fit against the measured 4K OOM
@@ -652,6 +673,13 @@ class cvvdp(vq_metric):
         # blk=6..12 all execute at 4K; 12 is the model's 4K pick under
         # the 14 GB fallback, measured at 59.68 fps step latency (r5).
         c = 92 if not self.training_mode else 800
+        if not getattr(self, "enable_fused_kernels", True):
+            # Pure-XLA route keeps far more HLO temps live: the unfused 4K
+            # step at blk=12 compiled to an 18.42 GB program on a 15.75 GB
+            # v5e (r5 bench log) => (18.42G - a - tails)/(12*pix) ~ 161
+            # B/pix incl. tails; 160 + the 24 B tails term gives ~15%
+            # margin and picks blk=7 at 4K under the 14 GB fallback.
+            c = max(c, 160)
         max_frames = int(
             math.floor(
                 (mem_avail - a - pix_cnt * (self.filter_len - 1) * b)
@@ -668,6 +696,31 @@ class cvvdp(vq_metric):
         if pix_cnt >= 6e6:
             max_frames = min(max_frames, 12)
         return max(1, min(max_frames, 32, N_frames))
+
+    def scan_group_limit(self, pix_cnt, blk, block_nbytes):
+        """Largest scan group K whose staged uploads fit in HBM NEXT TO the
+        steady-state step program. The scan-grouped dispatch holds K raw
+        blocks x 2 streams as live program arguments while it runs; the r5
+        bench proved that staging is NOT free: at 4K blk=12 the K=4 group
+        needed 12.63 GB program + 3.71 GB arguments = 16.34 GB on a
+        15.75 GB v5e (compile-time HBM OOM), while blk=10 K=4 (13.0 GB
+        total, r4) executes. Uses the same linear footprint model as
+        estimate_block_N for the program side; a staged flat uint8 block
+        measures ~1.55x its raw nbytes on device (TPU tile padding of the
+        packed planes) — 1.6 is the margin-inclusive factor.
+        Returns at least 1 (1 means: do not group, score per-block)."""
+        a = 0.6e9
+        b = 24
+        c = 92 if not self.training_mode else 800
+        if not getattr(self, "enable_fused_kernels", True):
+            c = max(c, 160)
+        fl = int(getattr(self, "filter_len", 9))
+        step_total = a + pix_cnt * (fl - 1) * b + pix_cnt * blk * (b + c)
+        headroom = self._hbm_avail() - step_total
+        per_group = 2 * float(block_nbytes) * 1.6
+        if headroom <= 0 or per_group <= 0:
+            return 1
+        return max(1, int(headroom // per_group))
 
     def get_ch_weights(self, no_channels):
         if hasattr(self, "ch_chrom_w"):

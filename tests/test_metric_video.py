@@ -186,6 +186,39 @@ def test_estimate_block_N_model():
     a, b, c = 0.6e9, 24, 92
     total = a + pix_4k * 8 * b + 12 * pix_4k * (b + c)
     assert total < 15.75e9
+    # Unfused (pure-XLA) route keeps far more HLO temps live: blk=12 at 4K
+    # compiled to an 18.42 GB program on a 15.75 GB v5e (r5 bench log), so
+    # the model must pick a much smaller block when fused kernels are off.
+    m.gpu_mem = 14.0
+    m.enable_fused_kernels = False
+    blk_unfused = m.estimate_block_N(pix_4k, 600)
+    assert blk_unfused <= 8
+    total_unfused = a + pix_4k * 8 * b + blk_unfused * pix_4k * (b + 160)
+    assert total_unfused < 14.5e9
+    m.enable_fused_kernels = True
+
+
+def test_scan_group_limit_model():
+    """Pin the scan-group HBM budget (r5 bench crash): staged scan uploads
+    are live arguments of the scan program, and at 4K blk=12 the K=4 group
+    hit a compile-time HBM OOM (12.63 GB program + 3.71 GB arguments =
+    16.34 GB on a 15.75 GB v5e) while blk=10 K=4 (13.0 GB, r4) executed."""
+    m = cv.cvvdp(display_name="standard_4k", quiet=True)
+    m.filter_len = 9
+    m.gpu_mem = 14.0
+    pix_4k = 3840 * 2160
+    blk_bytes = lambda pix, blk: pix * 3 * blk  # packed uint8 HWC
+    # blk=12 at 4K: no headroom for staging -> per-block dispatch only.
+    assert m.scan_group_limit(pix_4k, 12, blk_bytes(pix_4k, 12)) == 1
+    # blk=10 at 4K: grouping allowed (measured-safe on hardware at K=4;
+    # the budget is conservative, >=2 is the contract).
+    assert m.scan_group_limit(pix_4k, 10, blk_bytes(pix_4k, 10)) >= 2
+    # 1080p at blk=32 keeps the full production group.
+    pix_1080 = 1920 * 1080
+    assert m.scan_group_limit(pix_1080, 32, blk_bytes(pix_1080, 32)) >= 4
+    # Tiny budget degrades to no grouping, never raises.
+    m.gpu_mem = 1e-9
+    assert m.scan_group_limit(pix_4k, 12, blk_bytes(pix_4k, 12)) == 1
 
 
 def test_time_varying_blur_matches_oracle(reference, wavy):

@@ -89,7 +89,12 @@ def sweep_one(display: str, W: int, H: int, fps: float = 30.0) -> dict:
                 lambda: m._get_tail_init_fn(
                     vs, "DKLd65", (1, fl - 1, 3, H, W), np.uint8,
                     "symmetric").lower(head_flat).compile())
+        # Budget the scan group exactly as predict_video_source does: the
+        # staged K uploads are live HBM arguments of the scan program (r5:
+        # 4K blk=12 K=4 was a 16.34 GB compile-time OOM on a 15.75 GB v5e).
         K = int(getattr(m, "scan_group", 0) or 0)
+        block_nbytes = int(np.prod(shape))  # uint8 raw block
+        K = min(K, m.scan_group_limit(H * W, blk, block_nbytes))
         if K >= 2:
             compiled(
                 f"video_scan K={K}",

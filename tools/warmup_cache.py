@@ -85,7 +85,11 @@ def seed_one(display, W, H, fps=30.0):
                                     "symmetric")
         head_flat = jax.ShapeDtypeStruct(((fl - 1) * 3 * H * W,), jnp.uint8)
         thead.lower(head_flat).compile()
+    # Same HBM budget as predict_video_source: oversized scan groups are a
+    # compile-time OOM (r5: 4K blk=12 K=4 needed 16.34 GB on a 15.75 GB
+    # v5e), so warm only the group size production will actually form.
     K = int(getattr(m, "scan_group", 0) or 0)
+    K = min(K, m.scan_group_limit(H * W, blk, int(np.prod(shape))))
     if K >= 2:
         sfn = m._get_video_scan_step(vs, "DKLd65", shape, np.uint8, K)
         sfn.lower(tail_sd, tail_sd, *([flat_sd] * (2 * K))).compile()
